@@ -1,0 +1,5 @@
+from speaker3d_tpu.compat.torch_convert import (  # noqa: F401
+    convert_torch_state_dict,
+    load_torch_checkpoint,
+    strip_ddp_prefix,
+)
