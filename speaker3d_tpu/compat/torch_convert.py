@@ -29,6 +29,7 @@ _LEAF_TO_TORCH = {
     "mean": "running_mean",
     "var": "running_var",
     "embedding": "weight",
+    "weight": "weight",  # raw nn.Parameter kept in torch layout (e.g. CosineClassifier)
 }
 
 
@@ -87,6 +88,25 @@ def convert_torch_state_dict(
         raise KeyError(f"torch keys not found: {missing[:10]}"
                        f"{' ...' if len(missing) > 10 else ''}")
     return traverse_util.unflatten_dict(out)
+
+
+def variables_shape_tree(model, *example_args, **example_kwargs):
+    """Structure/shape tree of ``model.init`` WITHOUT running it.
+
+    ``convert_torch_state_dict`` only needs shapes/dtypes, so checkpoint
+    loading never has to execute the (potentially expensive) random init —
+    ``jax.eval_shape`` traces it abstractly.
+    """
+    import jax
+
+    return jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args,
+                          **example_kwargs)
+
+
+def load_into_model(model, state_dict, *example_args, **example_kwargs):
+    """One-call checkpoint load: torch state_dict -> flax variables."""
+    shapes = variables_shape_tree(model, *example_args, **example_kwargs)
+    return convert_torch_state_dict(state_dict, shapes)
 
 
 def strip_ddp_prefix(state_dict: Mapping[str, Any]) -> dict:

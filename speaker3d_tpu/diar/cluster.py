@@ -1,0 +1,310 @@
+"""Clustering backends for diarization.
+
+Behavioral contract (reference: speakerlab/process/cluster.py):
+  - SpectralCluster: cosine affinity -> p-pruning -> symmetrize ->
+    unnormalized Laplacian -> smallest eigenpairs -> eigengap speaker count
+    -> k-means on spectral embeddings.
+  - AHCluster: average-linkage agglomerative clustering on negative cosine,
+    cut at a fixed cosine threshold.
+  - UmapHdbscan: UMAP -> HDBSCAN (optional deps, gated at call time).
+  - CommonClustering: dispatcher + minor-cluster reassignment + iterative
+    centroid cosine merging.
+
+Clustering itself is host-side numpy/scipy (N is a few thousand chunks; the
+O(N^2) affinity is a single matmul). The TPU path computes the *embeddings*
+and can compute large affinity matrices on device (see eval/scoring); labels
+and linkage logic stay on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    return x / np.maximum(np.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def cosine_affinity(x, y=None):
+    xn = l2_normalize(np.asarray(x, dtype=np.float64))
+    yn = xn if y is None else l2_normalize(np.asarray(y, dtype=np.float64))
+    return xn @ yn.T
+
+
+class SpectralCluster:
+    """(reference: process/cluster.py:23-112)"""
+
+    def __init__(self, min_num_spks=1, max_num_spks=10, pval=0.02, min_pnum=6,
+                 oracle_num=None):
+        self.min_num_spks = min_num_spks
+        self.max_num_spks = max_num_spks
+        self.min_pnum = min_pnum
+        self.pval = pval
+        self.k = oracle_num
+
+    def __call__(self, X, pval=None, speaker_num=None, **kwargs):
+        sim = cosine_affinity(X)
+        sim = self.p_pruning(sim, pval)
+        sim = 0.5 * (sim + sim.T)
+        lap = self.laplacian(sim)
+        emb, num_spk = self.spectral_embeddings(lap, speaker_num)
+        return self.kmeans(emb, num_spk)
+
+    def p_pruning(self, A, pval=None):
+        """Zero the lowest (1-p) fraction of each row (keeping >= min_pnum)."""
+        if pval is None:
+            pval = self.pval
+        n = A.shape[0]
+        n_zero = min(int((1 - pval) * n), n - self.min_pnum)
+        if n_zero <= 0:
+            return A
+        order = np.argsort(A, axis=1)
+        rows = np.arange(n)[:, None]
+        A[rows, order[:, :n_zero]] = 0.0
+        return A
+
+    @staticmethod
+    def laplacian(M):
+        M = M.copy()
+        np.fill_diagonal(M, 0.0)
+        D = np.diag(np.sum(np.abs(M), axis=1))
+        return D - M
+
+    def spectral_embeddings(self, L, k_oracle=None):
+        from scipy.linalg import eigh
+
+        if k_oracle is None:
+            k_oracle = self.k
+        k = min(self.max_num_spks + 1, L.shape[0])
+        lambdas, vecs = eigh(L, subset_by_index=[0, k - 1])
+        if k_oracle is not None:
+            num_spk = k_oracle
+        else:
+            gaps = np.diff(lambdas[self.min_num_spks - 1:self.max_num_spks + 1])
+            num_spk = int(np.argmax(gaps)) + self.min_num_spks
+        return vecs[:, :num_spk], num_spk
+
+    @staticmethod
+    def kmeans(emb, k):
+        from sklearn.cluster import k_means
+
+        _, labels, _ = k_means(emb, k, n_init=10)
+        return labels
+
+
+class AHCluster:
+    """Average-linkage AHC cut at a fixed cosine threshold.
+    (reference: process/cluster.py:139-156)"""
+
+    def __init__(self, fix_cos_thr=0.4):
+        self.fix_cos_thr = fix_cos_thr
+
+    def __call__(self, X, **kwargs):
+        from scipy.cluster.hierarchy import fcluster, linkage
+        from scipy.spatial.distance import squareform
+
+        scr = squareform(-cosine_affinity(X), checks=False)
+        lin = linkage(scr, method="average")
+        adjust = abs(lin[:, 2].min())
+        lin[:, 2] += adjust
+        return fcluster(lin, -self.fix_cos_thr + adjust,
+                        criterion="distance") - 1
+
+
+class UmapHdbscan:
+    """UMAP dim-reduction + HDBSCAN density clustering.
+    (reference: process/cluster.py:115-137). Requires optional deps."""
+
+    def __init__(self, n_neighbors=20, n_components=60, min_samples=20,
+                 min_cluster_size=10, metric="euclidean"):
+        self.n_neighbors = n_neighbors
+        self.n_components = n_components
+        self.min_samples = min_samples
+        self.min_cluster_size = min_cluster_size
+        self.metric = metric
+
+    def __call__(self, X, **kwargs):
+        try:
+            import hdbscan
+            import umap
+        except ImportError as e:
+            raise ImportError(
+                "umap_hdbscan clustering requires `umap-learn` and `hdbscan`; "
+                "use cluster_type='spectral' or 'AHC' instead") from e
+        umap_x = umap.UMAP(
+            n_neighbors=self.n_neighbors, min_dist=0.0,
+            n_components=min(self.n_components, X.shape[0] - 2),
+            metric=self.metric).fit_transform(X)
+        return hdbscan.HDBSCAN(
+            min_samples=self.min_samples,
+            min_cluster_size=self.min_cluster_size).fit_predict(umap_x)
+
+
+class CommonClustering:
+    """Dispatcher + cluster post-processing.
+    (reference: process/cluster.py:159-239)"""
+
+    def __init__(self, cluster_type, cluster_line=40, mer_cos=None,
+                 min_cluster_size=4, **kwargs):
+        self.cluster_type = cluster_type
+        self.cluster_line = cluster_line
+        self.min_cluster_size = min_cluster_size
+        self.mer_cos = mer_cos
+        if cluster_type == "spectral":
+            self.cluster = SpectralCluster(**kwargs)
+        elif cluster_type == "umap_hdbscan":
+            kwargs["min_cluster_size"] = min_cluster_size
+            self.cluster = UmapHdbscan(**kwargs)
+        elif cluster_type == "AHC":
+            self.cluster = AHCluster(**kwargs)
+        else:
+            raise ValueError(f"{cluster_type} is not currently supported.")
+        self.cluster_for_short = AHCluster() if cluster_type != "AHC" else self.cluster
+
+    def __call__(self, X, **kwargs):
+        assert X.ndim == 2, "Shape of input should be [N, C]"
+        if X.shape[0] <= 1:
+            return np.zeros(X.shape[0], dtype=int)
+        if X.shape[0] < self.cluster_line:
+            labels = self.cluster_for_short(X)
+        else:
+            labels = self.cluster(X, **kwargs)
+        labels = np.asarray(labels).copy()
+        labels = self.filter_minor_cluster(labels, X, self.min_cluster_size)
+        if self.mer_cos is not None:
+            labels = self.merge_by_cos(labels, X, self.mer_cos)
+        return labels
+
+    def filter_minor_cluster(self, labels, x, min_cluster_size):
+        """Reassign members of clusters of size <= min_cluster_size to the
+        nearest (cosine) major-cluster centroid."""
+        cset = np.unique(labels)
+        csize = np.array([(labels == i).sum() for i in cset])
+        minor = cset[csize <= self.min_cluster_size]
+        if len(minor) == 0:
+            return labels
+        major = cset[csize > self.min_cluster_size]
+        if len(major) == 0:
+            return np.zeros_like(labels)
+        centers = np.stack([x[labels == i].mean(0) for i in major])
+        minor_mask = np.isin(labels, minor)
+        sims = cosine_affinity(x[minor_mask], centers)
+        labels[minor_mask] = major[np.argmax(sims, axis=1)]
+        return labels
+
+    def merge_by_cos(self, labels, x, cos_thr):
+        """Iteratively merge the centroid pair with max cosine >= threshold."""
+        assert 0 < cos_thr <= 1
+        while True:
+            cset = np.unique(labels)
+            if len(cset) == 1:
+                break
+            centers = np.stack([x[labels == i].mean(0) for i in cset])
+            aff = np.triu(cosine_affinity(centers), 1)
+            idx = np.unravel_index(np.argmax(aff), aff.shape)
+            if aff[idx] < cos_thr:
+                break
+            c1, c2 = cset[list(idx)]
+            labels[labels == c2] = c1
+        return labels
+
+
+class JointClustering:
+    """Audio-visual label reconciliation: overlap voting between audio
+    clusters and face-track (vision) clusters, plus embedding redistribution
+    for audio clusters overlapping several vision speakers.
+    (reference: process/cluster.py:242-365)"""
+
+    def __init__(self, audio_cluster, vision_cluster):
+        self.audio_cluster = audio_cluster
+        self.vision_cluster = vision_cluster
+
+    def __call__(self, audioX, visionX, audioT, visionT, conf):
+        alabels = arrange_labels(self.audio_cluster(audioX))
+        vlabels = self.vision_cluster(visionX)
+        vlist, vspk_embs, vspk_dur = self._vision_tracks(
+            audioX, alabels, vlabels, audioT, visionT, conf)
+
+        for i in range(alabels.max() + 1):
+            idx = np.where(alabels == i)[0]
+            times = [list(t) for t in np.array(audioT)[alabels == i]]
+            overlap_vspk = self._overlap_spks(merge_consecutive(times), vlist,
+                                              vspk_dur)
+            if len(overlap_vspk) > 1:
+                centers = np.stack([vspk_embs[s] for s in overlap_vspk])
+                dist = np.argmax(cosine_affinity(audioX[alabels == i], centers),
+                                 axis=1)
+                for j in range(dist.max() + 1):
+                    alabels[idx[dist == j]] = overlap_vspk[j]
+            elif len(overlap_vspk) == 1:
+                alabels[idx] = overlap_vspk[0]
+        return arrange_labels(alabels)
+
+    @staticmethod
+    def _overlap_spks(times, vlist, vspk_dur=None):
+        overlap_dur = {}
+        for a_st, a_ed in times:
+            for v_st, v_ed, v_id in vlist:
+                if a_ed > v_st and v_ed > a_st:
+                    overlap_dur[v_id] = overlap_dur.get(v_id, 0) + (
+                        min(a_ed, v_ed) - max(a_st, v_st))
+        out = []
+        for v_id, dur in overlap_dur.items():
+            lim = 0.5 if vspk_dur is None else min(vspk_dur[v_id] * 0.5, 0.5)
+            if dur > lim:
+                out.append(v_id)
+        return out
+
+    def _vision_tracks(self, audioX, alabels, vlabels, audioT, visionT, conf):
+        assert len(vlabels) == len(visionT)
+        stride_gap = getattr(conf, "face_det_stride", 1) * 0.04 + 1e-4
+        vlist = []
+        for i, ti in enumerate(visionT):
+            if (not vlist or vlabels[i] != vlist[-1][2]
+                    or ti - visionT[i - 1] > stride_gap):
+                if vlist and vlist[-1][1] - vlist[-1][0] < 1e-4:
+                    vlist.pop()
+                vlist.append([ti, ti, vlabels[i]])
+            else:
+                vlist[-1][1] = ti
+        v_arranged = arrange_labels([i[2] for i in vlist], start=alabels.max() + 1)
+        vlist = [[a, b, j] for (a, b, _), j in zip(vlist, v_arranged)]
+
+        vspk_embs = {}
+        for v_st, v_ed, v_id in vlist:
+            for i, (a_st, a_ed) in enumerate(audioT):
+                if a_ed >= v_st and v_ed >= a_st:
+                    if min(a_ed, v_ed) - max(a_st, v_st) > 1:
+                        vspk_embs.setdefault(v_id, []).append(audioX[i])
+        vspk_embs = {k: np.stack(v).mean(0) for k, v in vspk_embs.items()}
+        vlist = [i for i in vlist if i[2] in vspk_embs]
+        vspk_dur = {}
+        for st, ed, v_id in vlist:
+            vspk_dur[v_id] = vspk_dur.get(v_id, 0) + ed - st
+        return vlist, vspk_embs, vspk_dur
+
+
+def merge_consecutive(times):
+    """Merge overlapping/adjacent [st, ed] intervals (assumed sorted)."""
+    if len(times) == 0:
+        return times
+    out = []
+    for iv in times:
+        if not out or out[-1][1] < iv[0]:
+            out.append(list(iv))
+        else:
+            out[-1][1] = max(out[-1][1], iv[1])
+    return out
+
+
+def arrange_labels(labels, start=0):
+    """Relabel in order of first appearance starting at ``start``."""
+    mapping = {}
+    out = []
+    idx = start
+    for lab in labels:
+        if lab not in mapping:
+            mapping[lab] = idx
+            idx += 1
+        out.append(mapping[lab])
+    return np.array(out)

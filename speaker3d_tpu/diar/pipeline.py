@@ -1,0 +1,310 @@
+"""End-to-end speaker diarization pipeline, TPU-native.
+
+Behavioral contract (reference: speakerlab/bin/infer_diarization.py
+Diarization3Dspeaker, :191-315): VAD -> post-processing -> energy boundary
+refinement -> sliding 1.5 s / 0.75 s chunking per speech interval -> batched
+embedding extraction (circle-padded, fbank + backbone on device) -> AHC
+clustering (mer_cos .3 / fix_cos_thr .3) -> compressed segment list ->
+RTTM/JSON output + diagnostic sidecars (.meta.json RTF, .pairs.json cosines,
+.vad_info.json).
+
+TPU-first notes
+---------------
+- Chunks are a *static* shape: every chunk is circle-padded to exactly
+  chunk_dur seconds and batched to a fixed batch size, so the jitted
+  fbank+backbone executable compiles once and is reused for every file.
+- Host does VAD/clustering (cheap, O(N) / O(N^2) scalar work); the device
+  does fbank + embedding (all the FLOPs) in one fused jit per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from speaker3d_tpu.diar import vad as vad_mod
+from speaker3d_tpu.diar.cluster import CommonClustering
+from speaker3d_tpu.utils.fileio import load_audio
+
+
+def circle_pad(x: np.ndarray, target_len: int) -> np.ndarray:
+    """Tile-pad a waveform to target length. (reference: utils/utils.py:232-238)"""
+    n = x.shape[0]
+    if n >= target_len:
+        return x[:target_len]
+    reps = -(-target_len // n)
+    return np.tile(x, reps)[:target_len]
+
+
+def compressed_seg(seg_list):
+    """Merge adjacent same-speaker chunks; split overlaps at the midpoint.
+    (reference: bin/infer_diarization.py:780-797)"""
+    new_list: List[list] = []
+    for i, (st, ed, cid) in enumerate(seg_list):
+        if i == 0:
+            new_list.append([st, ed, cid])
+        elif cid == new_list[-1][2]:
+            if st > new_list[-1][1]:
+                new_list.append([st, ed, cid])
+            else:
+                new_list[-1][1] = ed
+        else:
+            if st < new_list[-1][1]:
+                p = (new_list[-1][1] + st) / 2
+                new_list[-1][1] = p
+                st = p
+            new_list.append([st, ed, cid])
+    return new_list
+
+
+def sliding_chunks(st: float, ed: float, dur: float, step: float):
+    """Sliding windows over [st, ed]; short leftovers keep their true end.
+    (reference: bin/infer_diarization.py:606-619)"""
+    chunks = []
+    if ed - st <= 0:
+        return chunks
+    sub_st = st
+    made = False
+    while sub_st + dur < ed + step:
+        chunks.append([sub_st, min(sub_st + dur, ed)])
+        sub_st += step
+        made = True
+    if not made:
+        chunks.append([st, ed])
+    return chunks
+
+
+class DiarizationPipeline:
+    """Python API mirroring the reference Diarization3Dspeaker class.
+
+    ``embed_fn``: callable mapping a float32 waveform batch [B, L] to
+    embeddings [B, D] (typically a jitted fbank+backbone; see
+    speaker3d_tpu.eval.embedding.build_embedding_fn).
+    """
+
+    def __init__(self,
+                 embed_fn: Callable,
+                 sample_rate: int = 16000,
+                 vad: Optional[Callable] = None,
+                 cluster: Optional[Callable] = None,
+                 speaker_num: Optional[int] = None,
+                 no_chunk_after_vad: bool = False,
+                 vad_threshold: float = 0.5,
+                 vad_min_speech_ms: float = 200.0,
+                 vad_max_silence_ms: float = 300.0,
+                 vad_energy_threshold: float = 0.05,
+                 vad_boundary_expansion_ms: float = 10.0,
+                 vad_boundary_energy_percentile: float = 10.0,
+                 cluster_mer_cos: float = 0.3,
+                 cluster_fix_cos_thr: float = 0.3,
+                 cluster_min_cluster_size: int = 0,
+                 chunk_dur: float = 1.5,
+                 chunk_step: float = 0.75,
+                 batch_size: int = 64,
+                 segmentation_model=None):
+        self.embed_fn = embed_fn
+        self.fs = sample_rate
+        self.vad_model = vad or vad_mod.try_ten_vad(
+            sample_rate, threshold=vad_threshold) or vad_mod.EnergyVAD(
+                sample_rate, threshold=vad_threshold)
+        self.cluster = cluster if cluster is not None else CommonClustering(
+            "AHC", mer_cos=cluster_mer_cos, fix_cos_thr=cluster_fix_cos_thr,
+            min_cluster_size=cluster_min_cluster_size)
+        self.speaker_num = speaker_num
+        self.no_chunk_after_vad = no_chunk_after_vad
+        self.chunk_dur = chunk_dur
+        self.chunk_step = chunk_step
+        self.batch_size = batch_size
+        self.segmentation_model = segmentation_model
+
+        self.vad_frame_size_ms = 16.0
+        self.vad_min_speech_ms = vad_min_speech_ms
+        self.vad_max_silence_ms = vad_max_silence_ms
+        self.vad_energy_threshold = vad_energy_threshold
+        self.vad_boundary_expansion_ms = vad_boundary_expansion_ms
+        self.vad_boundary_energy_percentile = vad_boundary_energy_percentile
+
+        # diagnostic state from the last call (fork sidecar surface)
+        self.output_field_labels = None
+        self.last_vad_time = None
+        self.last_vad_time_raw = None
+        self.last_vad_time_processed = None
+        self.last_vad_refined_mask = None
+        self.last_vad_masked_audio = None
+        self.last_chunks = None
+        self.last_embeddings = None
+        self.last_elapsed = None
+
+    # ---- stages ------------------------------------------------------------
+
+    def do_vad(self, wav_1d):
+        return self.vad_model(wav_1d)
+
+    def postprocess_vad(self, flags, wav_1d):
+        hop = int(self.vad_frame_size_ms * self.fs / 1000)
+        processed = vad_mod.post_process_speech_flags(
+            flags, self.vad_frame_size_ms, self.vad_min_speech_ms,
+            self.vad_max_silence_ms)
+        processed_mask = vad_mod.flags_to_mask(processed, len(wav_1d), hop)
+        refined_mask = vad_mod.refine_vad_boundaries_with_energy(
+            wav_1d, processed_mask, self.fs, self.vad_energy_threshold,
+            self.vad_boundary_energy_percentile, self.vad_boundary_expansion_ms)
+        vad_time = vad_mod.mask_to_intervals(refined_mask, self.fs)
+        return processed_mask, refined_mask, vad_time
+
+    def do_emb_extraction(self, chunks: Sequence[Sequence[float]], wav_1d):
+        """Slice, circle-pad to a STATIC chunk length, batch, embed on device.
+        (reference: bin/infer_diarization.py:621-639)"""
+        L = int(self.chunk_dur * self.fs)
+        wavs = []
+        for st, ed in chunks:
+            piece = wav_1d[int(st * self.fs):int(ed * self.fs)]
+            if piece.shape[0] == 0:
+                piece = np.zeros(1, dtype=np.float32)
+            wavs.append(circle_pad(piece, L))
+        wavs = np.stack(wavs).astype(np.float32)
+
+        out = []
+        bs = self.batch_size
+        for s in range(0, len(wavs), bs):
+            batch = wavs[s:s + bs]
+            n = batch.shape[0]
+            if n < bs:  # pad to the static batch size, drop extras after
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - n, L), np.float32)], axis=0)
+            emb = np.asarray(self.embed_fn(batch))[:n]
+            out.append(emb)
+        return np.concatenate(out, axis=0)
+
+    def do_clustering(self, chunks, embeddings, speaker_num=None):
+        labels = self.cluster(
+            embeddings,
+            speaker_num=speaker_num if speaker_num is not None else self.speaker_num)
+        speaker_num = int(labels.max()) + 1
+        fields = [[c[0], c[1], int(l)] for c, l in zip(chunks, labels)]
+        return speaker_num, compressed_seg(fields)
+
+    # ---- entry -------------------------------------------------------------
+
+    def __call__(self, wav, wav_fs=None, speaker_num=None):
+        t0 = time.time()
+        wav_data = load_audio(wav, wav_fs, self.fs)
+        wav_1d = np.asarray(wav_data)[0]
+
+        flags, wav_for_vad = self.do_vad(wav_1d)
+        processed_mask, refined_mask, vad_time = self.postprocess_vad(
+            flags, wav_for_vad)
+        hop = int(self.vad_frame_size_ms * self.fs / 1000)
+        self.last_vad_time_raw = vad_mod.flags_to_intervals(
+            flags, len(wav_for_vad), hop, self.fs)
+        self.last_vad_time_processed = vad_mod.mask_to_intervals(
+            processed_mask, self.fs)
+        self.last_vad_refined_mask = refined_mask
+
+        if self.segmentation_model is not None:
+            from speaker3d_tpu.diar.overlap import (
+                get_valid_field, run_segmentation)
+            segmentations, count = run_segmentation(
+                self.segmentation_model, wav_1d, self.fs)
+            vad_time = vad_mod.merge_vad(vad_time, get_valid_field(count))
+
+        if self.no_chunk_after_vad:
+            chunks = [[st, ed] for st, ed in vad_time]
+        else:
+            chunks = [c for st, ed in vad_time
+                      for c in sliding_chunks(st, ed, self.chunk_dur,
+                                              self.chunk_step)]
+        self.last_vad_time = vad_time
+        self.last_vad_masked_audio = (wav_1d * refined_mask)[None]
+        self.last_chunks = chunks
+
+        if len(chunks) == 0:
+            self.output_field_labels = []
+            self.last_embeddings = np.zeros((0, 1), np.float32)
+            self.last_elapsed = time.time() - t0
+            return []
+
+        embeddings = self.do_emb_extraction(chunks, wav_1d)
+        self.last_embeddings = embeddings
+
+        spk_num, fields = self.do_clustering(chunks, embeddings, speaker_num)
+
+        if self.segmentation_model is not None:
+            from speaker3d_tpu.diar.overlap import binary_to_segs, post_process
+            binary, timestamps = post_process(fields, spk_num, segmentations,
+                                              count)
+            fields = binary_to_segs(binary, timestamps)
+
+        self.output_field_labels = fields
+        self.last_elapsed = time.time() - t0
+        return fields
+
+    # ---- outputs -----------------------------------------------------------
+
+    def save_diar_output(self, out_file, wav_id=None, output_field_labels=None):
+        """(reference: bin/infer_diarization.py:727-755)"""
+        fields = output_field_labels or self.output_field_labels
+        if fields is None:
+            raise ValueError("No results can be saved.")
+        wav_id = wav_id or "default"
+        if str(out_file).endswith("rttm"):
+            with open(out_file, "w") as f:
+                for st, ed, cid in fields:
+                    f.write(f"SPEAKER {wav_id} 0 {st:.3f} {ed - st:.3f} "
+                            f"<NA> <NA> {int(cid):d} <NA> <NA>\n")
+        elif str(out_file).endswith("json"):
+            out = {}
+            for st, ed, cid in fields:
+                segid = f"{wav_id}_{round(st, 3)}_{round(ed, 3)}"
+                out[segid] = {"start": st, "stop": ed, "speaker": int(cid)}
+            with open(out_file, "w") as f:
+                json.dump(out, f, indent=2)
+        else:
+            raise ValueError("Supported output formats: RTTM and JSON.")
+
+    def save_meta(self, out_file, wav_duration_s: float):
+        """RTF sidecar. (reference: bin/infer_diarization.py:1045-1058)"""
+        elapsed = self.last_elapsed or 0.0
+        meta = {
+            "duration_s": wav_duration_s,
+            "elapsed_s": elapsed,
+            "rtf": elapsed / wav_duration_s if wav_duration_s > 0 else None,
+        }
+        with open(out_file, "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def save_pairs(self, out_file):
+        """Pairwise segment cosine sidecar.
+        (reference: bin/infer_diarization.py:1014-1066)"""
+        from speaker3d_tpu.diar.cluster import cosine_affinity
+
+        if self.last_embeddings is None or len(self.last_embeddings) == 0:
+            data = {"pairs": []}
+        else:
+            aff = cosine_affinity(self.last_embeddings)
+            pairs = []
+            n = aff.shape[0]
+            for i in range(n):
+                for j in range(i + 1, n):
+                    pairs.append({
+                        "i": i, "j": j,
+                        "chunk_i": self.last_chunks[i],
+                        "chunk_j": self.last_chunks[j],
+                        "cosine": float(aff[i, j]),
+                    })
+            data = {"pairs": pairs}
+        with open(out_file, "w") as f:
+            json.dump(data, f, indent=2)
+
+    def save_vad_info(self, out_file):
+        """(reference: bin/infer_diarization.py .vad_info.json sidecar)"""
+        data = {
+            "raw": self.last_vad_time_raw,
+            "processed": self.last_vad_time_processed,
+            "refined": self.last_vad_time,
+        }
+        with open(out_file, "w") as f:
+            json.dump(data, f, indent=2)

@@ -1,0 +1,242 @@
+"""Voice activity detection: pluggable frame-level VAD + the fork's exact
+post-processing chain.
+
+Behavioral contract (reference: speakerlab/bin/infer_diarization.py):
+  - frame flags at a 16 ms hop (TenVadWrapper, :120-166). TenVad itself is a
+    closed native dependency; we control only its contract, so the default
+    in-repo VAD is an adaptive energy VAD with the same interface, and any
+    callable `wav[n] -> (flags, wav)` plugs in.
+  - post-processing (:347-384): moving-average smoothing (win 3, >0.5),
+    fill silence gaps <= 300 ms, drop speech < 200 ms.
+  - energy boundary refinement (:386-457): 20 ms/10 ms frame energy with
+    overlap-max accumulation, percentile-10 dynamic threshold (floored),
+    forward/backward contraction within a 100 ms lookahead, then bounded
+    re-expansion (the reference re-expands the tail fully to the original
+    segment end — reproduced exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class EnergyVAD:
+    """Adaptive frame-energy VAD with the TenVad wrapper's interface.
+
+    Decision per 16 ms frame: speech iff the frame RMS energy exceeds
+    max(abs_floor, noise_percentile * snr_factor). The adaptive term tracks
+    the recording's noise floor via a low percentile of frame energies.
+    """
+
+    def __init__(self, sample_rate: int = 16000, frame_ms: float = 16.0,
+                 threshold: float = 0.5, abs_floor: float = 1e-4,
+                 noise_percentile: float = 10.0, snr_factor: float = 4.0):
+        self.sample_rate = sample_rate
+        self.hop_size = int(frame_ms * sample_rate / 1000)
+        self.threshold = threshold
+        self.abs_floor = abs_floor
+        self.noise_percentile = noise_percentile
+        self.snr_factor = snr_factor
+
+    def __call__(self, wav_1d):
+        x = np.asarray(wav_1d, dtype=np.float32).reshape(-1)
+        if x.size == 0:
+            return [], x
+        x = np.clip(x, -1.0, 1.0)
+        n_frames = len(x) // self.hop_size
+        if n_frames == 0:
+            return [0] * 0, x
+        frames = x[: n_frames * self.hop_size].reshape(n_frames, self.hop_size)
+        energy = np.sqrt(np.mean(np.square(frames), axis=1) + 1e-12)
+        noise = np.percentile(energy, self.noise_percentile)
+        thr = max(self.abs_floor, noise * self.snr_factor)
+        flags = (energy > thr).astype(int).tolist()
+        return flags, x
+
+
+def try_ten_vad(sample_rate=16000, frame_ms=16.0, threshold=0.5):
+    """Use the external ten_vad native lib if present; else None.
+    (reference: bin/infer_diarization.py:126-166)"""
+    try:
+        from ten_vad import TenVad  # type: ignore
+    except ImportError:
+        return None
+
+    hop = int(frame_ms * sample_rate / 1000)
+    engine = TenVad(hop, threshold)
+
+    def vad(wav_1d):
+        x = np.clip(np.asarray(wav_1d, dtype=np.float32).reshape(-1), -1, 1)
+        x16 = (x * 32767).astype(np.int16)
+        flags = []
+        for i in range(len(x16) // hop):
+            _, f = engine.process(x16[i * hop:(i + 1) * hop])
+            flags.append(int(f))
+        return flags, x
+
+    return vad
+
+
+def post_process_speech_flags(flags, frame_ms: float = 16.0,
+                              min_speech_ms: float = 200.0,
+                              max_silence_ms: float = 300.0):
+    """Smooth + fill short gaps + drop short speech.
+    (reference: bin/infer_diarization.py:347-384)"""
+    flags = np.asarray(flags, dtype=np.float32)
+    if flags.size == 0:
+        return flags
+    win = 3
+    pad = np.pad(flags, (win // 2, win // 2), mode="edge")
+    smooth = (np.convolve(pad, np.ones(win) / win, mode="valid") > 0.5).astype(
+        np.float32)
+
+    min_speech = max(1, int(min_speech_ms / frame_ms))
+    max_silence = max(1, int(max_silence_ms / frame_ms))
+
+    res = smooth.copy()
+    count0 = 0
+    for i in range(len(res)):
+        if res[i] == 0:
+            count0 += 1
+        else:
+            if 0 < count0 <= max_silence:
+                res[i - count0:i] = 1
+            count0 = 0
+    count1 = 0
+    for i in range(len(res)):
+        if res[i] == 1:
+            count1 += 1
+        else:
+            if 0 < count1 < min_speech:
+                res[i - count1:i] = 0
+            count1 = 0
+    return res
+
+
+def flags_to_mask(flags, num_samples: int, hop_size: int):
+    """Frame flags -> per-sample {0,1} mask."""
+    mask = np.zeros(num_samples, dtype=np.float32)
+    for i, flag in enumerate(np.asarray(flags)):
+        s = i * hop_size
+        e = min((i + 1) * hop_size, num_samples)
+        if s >= num_samples:
+            break
+        mask[s:e] = flag
+    return mask
+
+
+def frame_energy_envelope(audio, sample_rate: int):
+    """Overlap-max 20 ms / 10 ms frame energy per sample.
+    (reference: bin/infer_diarization.py:391-401)"""
+    window = int(0.02 * sample_rate)
+    hop = int(0.01 * sample_rate)
+    n = len(audio)
+    n_frames = (n - window) // hop + 1
+    env = np.zeros(n, dtype=np.float32)
+    if n_frames <= 0:
+        return env
+    sq = np.square(audio.astype(np.float64))
+    csum = np.concatenate([[0.0], np.cumsum(sq)])
+    for i in range(n_frames):
+        s = i * hop
+        e = min(s + window, n)
+        en = (csum[e] - csum[s]) / (e - s)
+        seg = env[s:e]
+        m = max(seg.max() if seg.size else 0.0, en)
+        env[s:e] = m
+    return env
+
+
+def refine_vad_boundaries_with_energy(audio, vad_mask, sample_rate: int,
+                                      energy_threshold: float = 0.05,
+                                      energy_percentile: float = 10.0,
+                                      boundary_expansion_ms: float = 10.0):
+    """Contract segment boundaries past low-energy samples, then re-expand
+    within the original segment. (reference: bin/infer_diarization.py:386-457)"""
+    refined = vad_mask.copy()
+    hop = int(0.01 * sample_rate)
+    env = frame_energy_envelope(audio, sample_rate)
+    if not env.any():
+        return refined
+
+    diff = np.diff(np.concatenate(([0], vad_mask, [0])))
+    starts = np.where(diff > 0)[0]
+    ends = np.where(diff < 0)[0]
+    if len(starts) == 0:
+        return refined
+
+    lookahead = 10 * hop
+    expand = int(boundary_expansion_ms * sample_rate / 1000.0)
+
+    for start, end in zip(starts, ends):
+        seg = env[start:end]
+        if seg.size == 0:
+            continue
+        thr = max(np.percentile(seg, energy_percentile), energy_threshold)
+
+        new_start = start
+        head = env[start:min(end, start + lookahead)]
+        low = np.flatnonzero(head < thr)
+        if low.size:
+            new_start = start + int(low[0])
+            refined[start:new_start] = 0
+
+        new_end = end
+        tail_lo = max(new_start, end - lookahead)
+        tail = env[tail_lo + 1:end][::-1]  # indices end-1 .. tail_lo+1
+        low = np.flatnonzero(tail < thr)
+        if low.size:
+            i = end - 1 - int(low[0])
+            refined[i:end] = 0
+            new_end = i + 1
+
+        if expand > 0:
+            refined[max(start, new_start - expand):new_start] = 1
+            # the reference re-fills the tail up to the original end
+            refined[new_end:end] = 1
+    return refined.astype(np.float32)
+
+
+def mask_to_intervals(mask, sample_rate: int):
+    """Per-sample mask -> [[start_sec, end_sec], ...].
+    (reference: bin/infer_diarization.py:459-482)"""
+    if len(mask) == 0:
+        return []
+    diff = np.diff(np.concatenate(([0], mask, [0])))
+    starts = np.where(diff > 0)[0]
+    ends = np.where(diff < 0)[0]
+    return [[float(s) / sample_rate, float(e) / sample_rate]
+            for s, e in zip(starts, ends) if e > s]
+
+
+def flags_to_intervals(flags, num_samples: int, hop_size: int, sample_rate: int):
+    """Raw frame flags -> intervals. (reference: bin/infer_diarization.py:484-509)"""
+    intervals = []
+    flags = list(flags)
+    i, N = 0, len(flags)
+    while i < N:
+        if flags[i]:
+            j = i + 1
+            while j < N and flags[j]:
+                j += 1
+            st = i * hop_size / sample_rate
+            ed = min(j * hop_size, num_samples) / sample_rate
+            if ed > st:
+                intervals.append([st, ed])
+            i = j
+        else:
+            i += 1
+    return intervals
+
+
+def merge_vad(vad1, vad2):
+    """Union of two interval lists. (reference: utils/utils.py:129-138)"""
+    intervals = [list(iv) for iv in list(vad1) + list(vad2)]
+    intervals.sort(key=lambda x: x[0])
+    merged = []
+    for iv in intervals:
+        if not merged or merged[-1][1] < iv[0]:
+            merged.append(iv)
+        else:
+            merged[-1][1] = max(merged[-1][1], iv[1])
+    return merged

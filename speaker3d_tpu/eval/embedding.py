@@ -1,0 +1,58 @@
+"""Batched embedding extraction: wav batch -> fbank -> backbone, one jit.
+
+The returned callable is the device hot path of diarization and batch SV
+inference (reference: bin/infer_diarization.py:621-639 uses
+torch.vmap(FBank) + model; here fbank IS already batched and the whole
+chain compiles into a single XLA executable with static shapes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
+
+
+def build_embedding_fn(model, variables, *, sample_rate: int = 16000,
+                       num_mel_bins: int = 80, mean_norm: bool = True,
+                       dtype=None, precision: str | None = "float32",
+                       donate: bool = False) -> Callable:
+    """Return jitted fn: float32 wav batch [B, L] -> embeddings [B, D].
+
+    ``dtype``: optional compute dtype for the backbone (e.g. jnp.bfloat16 for
+    throughput); fbank always runs float32 for numerical parity, and the
+    embedding is returned float32.
+    ``precision``: default matmul/conv precision for the backbone. This jax
+    build (like the TPU MXU) uses reduced bf16 accumulate by default;
+    'float32' gives bit-parity-grade accuracy, None keeps the fast default.
+    """
+    fbank = KaldiFbank(
+        FbankConfig(sample_rate=sample_rate, num_mel_bins=num_mel_bins),
+        mean_norm=mean_norm)
+
+    @jax.jit
+    def embed(wavs):
+        feats = fbank(wavs)
+        if dtype is not None:
+            feats = feats.astype(dtype)
+        if precision is not None:
+            with jax.default_matmul_precision(precision):
+                emb = model.apply(variables, feats)
+        else:
+            emb = model.apply(variables, feats)
+        return emb.astype(jnp.float32)
+
+    return embed
+
+
+def build_feature_fn(*, sample_rate: int = 16000, num_mel_bins: int = 80,
+                     mean_norm: bool = True) -> Callable:
+    """Jitted fbank-only fn for extract-style pipelines."""
+    fbank = KaldiFbank(
+        FbankConfig(sample_rate=sample_rate, num_mel_bins=num_mel_bins),
+        mean_norm=mean_norm)
+    return jax.jit(fbank.__call__)

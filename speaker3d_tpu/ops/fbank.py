@@ -257,6 +257,11 @@ def _fbank_apply(wav, B, mel, *, frame_length, frame_shift, use_power, use_log,
 
     n_bins = mel.shape[0]
     frames = _frames(wav, frame_length, frame_shift)   # [B, T, L]
+    # The barrier stops XLA from folding the strided-slice framing into the
+    # dot below — a composition that triggers a pathologically slow
+    # compilation pass on the CPU backend; on TPU it merely materializes the
+    # frames once, which is cheap relative to the analysis matmul.
+    frames = jax.lax.optimization_barrier(frames)
     # Per-frame linear analysis (dc-removal/preemph/window/rFFT) as ONE matmul.
     y = jnp.matmul(frames, B, precision=jax.lax.Precision.HIGHEST)  # [B, T, 2R]
     power = jnp.square(y[..., :n_bins]) + jnp.square(y[..., n_bins:])

@@ -1,0 +1,95 @@
+"""Speaker-verification metrics: EER, minDCF, accuracy, AP.
+
+Behavioral contract (reference: speakerlab/utils/score_metrics.py — NIST SRE
+metrics): robust FNR/FPR curves via sorted cumulative weights, linear EER
+interpolation at the crossing, normalized minimum detection cost.
+
+Implementation is plain numpy on the host (trial counts are ~1e5-1e7 scalars;
+not a TPU workload). The all-pairs cosine *scoring* that feeds these metrics
+is the TPU workload and lives in ``speaker3d_tpu.eval.scoring``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def fnr_fpr_curve(scores, labels, weights=None):
+    """Robust FNR/FPR over all operating points (sorted-score sweep).
+
+    Returns (fnr, fpr) arrays aligned with np.sort(scores).
+    (reference: utils/score_metrics.py:57-75 compute_pmiss_pfa_rbst)
+    """
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    order = np.argsort(scores, kind="stable")
+    labels = labels[order]
+    if weights is None:
+        weights = np.ones_like(labels, dtype=np.float64)
+    else:
+        weights = np.asarray(weights, dtype=np.float64)[order]
+    tgt = weights * (labels == 1)
+    imp = weights * (labels == 0)
+    fnr = np.cumsum(tgt) / max(np.sum(tgt), 1e-30)
+    fpr = 1.0 - np.cumsum(imp) / max(np.sum(imp), 1e-30)
+    return fnr, fpr
+
+
+def compute_eer(scores=None, labels=None, *, fnr=None, fpr=None,
+                return_threshold=False):
+    """Equal error rate with linear interpolation at the DET crossing.
+    (reference: utils/score_metrics.py:78-92)"""
+    if fnr is None or fpr is None:
+        fnr, fpr = fnr_fpr_curve(scores, labels)
+    diff = fnr - fpr
+    x1 = np.flatnonzero(diff >= 0)[0]
+    x2 = np.flatnonzero(diff < 0)[-1]
+    denom = fpr[x2] - fpr[x1] - (fnr[x2] - fnr[x1])
+    a = (fnr[x1] - fpr[x1]) / denom if denom != 0 else 0.0
+    eer = fnr[x1] + a * (fnr[x2] - fnr[x1])
+    if return_threshold:
+        thr = np.sort(np.asarray(scores))[x1]
+        return float(eer), float(thr)
+    return float(eer)
+
+
+def compute_min_dcf(scores=None, labels=None, *, fnr=None, fpr=None,
+                    p_target=0.01, c_miss=1.0, c_fa=1.0, normalize=True):
+    """Minimum detection cost, optionally normalized by the default cost.
+    (reference: utils/score_metrics.py:95-115)"""
+    if fnr is None or fpr is None:
+        fnr, fpr = fnr_fpr_curve(scores, labels)
+    c_det = np.min(c_miss * fnr * p_target + c_fa * fpr * (1 - p_target))
+    if not normalize:
+        return float(c_det)
+    c_def = min(c_miss * p_target, c_fa * (1 - p_target))
+    return float(c_det / c_def)
+
+
+def det_curve_points(scores, labels):
+    """(fnr, fpr) arrays for DET plotting."""
+    return fnr_fpr_curve(scores, labels)
+
+
+def accuracy(logits, targets, topk=(1,)):
+    """Top-k accuracy in percent. (reference: utils/utils.py accuracy)"""
+    logits = np.asarray(logits)
+    targets = np.asarray(targets)
+    maxk = max(topk)
+    pred = np.argsort(-logits, axis=1)[:, :maxk]
+    correct = pred == targets[:, None]
+    return [float(correct[:, :k].any(axis=1).mean() * 100.0) for k in topk]
+
+
+def average_precision(labels, scores):
+    """AP over ranked scores. (reference: utils/utils.py average_precision)"""
+    labels = np.asarray(labels)
+    scores = np.asarray(scores)
+    order = np.argsort(-scores, kind="stable")
+    labels = labels[order]
+    cum_pos = np.cumsum(labels)
+    precision = cum_pos / np.arange(1, len(labels) + 1)
+    n_pos = labels.sum()
+    if n_pos == 0:
+        return 0.0
+    return float((precision * labels).sum() / n_pos)

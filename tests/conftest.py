@@ -8,7 +8,13 @@ vars must be set before jax initializes its backends.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the session environment may pin JAX_PLATFORMS to a TPU
+# tunnel ('axon'); tests must be hermetic on host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# This jax build defaults to TPU-like reduced (bf16) matmul precision even on
+# CPU; parity tests need full float32 accumulate. (The env var is not read by
+# this jax version, so set the config programmatically below.)
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "float32")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +27,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402  (env must be set before this import)
+
+jax.config.update("jax_default_matmul_precision", "float32")
 
 REFERENCE_ROOT = "/root/reference"
 

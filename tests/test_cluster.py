@@ -1,0 +1,97 @@
+import numpy as np
+
+from speaker3d_tpu.diar.cluster import (
+    AHCluster,
+    CommonClustering,
+    SpectralCluster,
+    arrange_labels,
+    merge_consecutive,
+)
+
+
+def _blobs(sizes=(30, 30, 30), dim=64, seed=0, spread=0.05):
+    """Well-separated unit-norm clusters."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((len(sizes), dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    xs, ys = [], []
+    for i, n in enumerate(sizes):
+        pts = centers[i] + spread * rng.standard_normal((n, dim))
+        xs.append(pts)
+        ys.append(np.full(n, i))
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def _purity(labels, truth):
+    total = 0
+    for lab in np.unique(labels):
+        sub = truth[labels == lab]
+        total += np.bincount(sub.astype(int)).max()
+    return total / len(truth)
+
+
+def test_ahc_recovers_clusters():
+    x, y = _blobs()
+    labels = AHCluster(fix_cos_thr=0.5)(x)
+    assert len(np.unique(labels)) == 3
+    assert _purity(labels, y) == 1.0
+
+
+def test_spectral_recovers_clusters():
+    x, y = _blobs(sizes=(40, 40, 40))
+    labels = SpectralCluster(pval=0.05)(x)
+    assert len(np.unique(labels)) == 3
+    assert _purity(labels, y) == 1.0
+
+
+def test_spectral_oracle_num():
+    x, y = _blobs(sizes=(40, 40))
+    labels = SpectralCluster(pval=0.05)(x, speaker_num=2)
+    assert len(np.unique(labels)) == 2
+    assert _purity(labels, y) == 1.0
+
+
+def test_common_clustering_trivial_cases():
+    cc = CommonClustering("AHC", mer_cos=0.8)
+    assert cc(np.zeros((0, 8))).shape == (0,)
+    assert (cc(np.ones((1, 8))) == [0]).all()
+
+
+def test_common_clustering_short_path_uses_ahc():
+    x, y = _blobs(sizes=(10, 10), dim=32)
+    cc = CommonClustering("spectral", cluster_line=40)
+    labels = cc(x)  # 20 < 40 -> AHC path
+    assert len(np.unique(labels)) == 2
+    assert _purity(labels, y) == 1.0
+
+
+def test_filter_minor_cluster():
+    x, y = _blobs(sizes=(30, 30, 2), dim=32, seed=1)
+    cc = CommonClustering("AHC", min_cluster_size=4)
+    labels = cc(x)
+    # the 2-sample cluster must be absorbed into a major cluster
+    assert len(np.unique(labels)) == 2
+    sizes = [np.sum(labels == i) for i in np.unique(labels)]
+    assert min(sizes) >= 30
+
+
+def test_merge_by_cos():
+    rng = np.random.default_rng(2)
+    c = rng.standard_normal(16)
+    c /= np.linalg.norm(c)
+    a = np.tile(c, (20, 1)) + 0.01 * rng.standard_normal((20, 16))
+    b = np.tile(c, (20, 1)) + 0.01 * rng.standard_normal((20, 16))
+    x = np.concatenate([a, b + 0.02])
+    cc = CommonClustering("AHC", mer_cos=0.5, fix_cos_thr=0.99)
+    labels = cc(x)
+    # near-identical centroids merged
+    assert len(np.unique(labels)) == 1
+
+
+def test_arrange_labels():
+    assert (arrange_labels([5, 5, 2, 7, 2]) == [0, 0, 1, 2, 1]).all()
+    assert (arrange_labels([1, 0], start=3) == [3, 4]).all()
+
+
+def test_merge_consecutive():
+    assert merge_consecutive([[0, 1], [0.5, 2], [3, 4]]) == [[0, 2], [3, 4]]

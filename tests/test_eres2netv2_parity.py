@@ -29,7 +29,7 @@ def _parity(torch_kw, flax_kw, atol=2e-4):
     import jax
     import torch
 
-    from speaker3d_tpu.compat import convert_torch_state_dict
+    from speaker3d_tpu.compat import load_into_model
     from speaker3d_tpu.models.eres2netv2 import ERes2NetV2
 
     tm = _torch_model(**torch_kw)
@@ -38,9 +38,8 @@ def _parity(torch_kw, flax_kw, atol=2e-4):
         ref = tm(torch.from_numpy(x)).numpy()
 
     fm = ERes2NetV2(feat_dim=80, embedding_size=192, **flax_kw)
-    variables = fm.init(jax.random.PRNGKey(0), x[:1])
-    variables = convert_torch_state_dict(tm.state_dict(), variables)
-    out = np.asarray(fm.apply(variables, x))
+    variables = load_into_model(fm, tm.state_dict(), x[:1])
+    out = np.asarray(jax.jit(fm.apply)(variables, x))
 
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-3)
@@ -61,9 +60,10 @@ def test_eres2netv2_w24s4ep4_parity():
 def test_param_count_matches_reference():
     import jax
 
+    from speaker3d_tpu.compat import variables_shape_tree
     from speaker3d_tpu.models.eres2netv2 import ERes2NetV2
 
     fm = ERes2NetV2()
-    variables = fm.init(jax.random.PRNGKey(0), np.zeros((1, 64, 80), np.float32))
-    n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    shapes = variables_shape_tree(fm, np.zeros((1, 64, 80), np.float32))
+    n = sum(x.size for x in jax.tree_util.tree_leaves(shapes["params"]))
     assert abs(n / 1e6 - 17.86) < 0.15  # reference self-report: 17.86M
