@@ -1,0 +1,56 @@
+"""Device mesh construction and sharding helpers.
+
+The framework's parallelism surface (SURVEY.md §2.6 TPU-native mapping):
+  - ``data`` axis: batch data-parallelism (gradients psum over ICI/DCN) —
+    replaces the reference's DDP/NCCL (reference: bin/train.py:34-60).
+  - ``model`` axis: vocab-parallel classifier sharding for the AAM-softmax
+    (class counts scale with corpus speakers) — the one tensor-parallel
+    shard point that pays off for <60M-param backbones.
+Multi-host: jax.distributed initialization + per-host file sharding by
+process_index replaces the reference's ``rank::world`` round-robin
+(reference: bin/extract.py:67, bin/infer_diarization.py:924).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Mesh over ('data', 'model'); data axis defaults to all remaining."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    dev = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+
+
+def model_sharded(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    return NamedSharding(mesh, P(*(("model",) + (None,) * (ndim - 1))))
+
+
+def process_shard(items, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
+    """Round-robin shard of a host-side work list by process.
+    (reference: rank::world file sharding, bin/extract.py:67)"""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(items)[pi::pc]

@@ -1,36 +1,29 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Multi-chip sharding (shard_map/pjit over a Mesh) is validated here without TPU
-hardware, as JAX supports via xla_force_host_platform_device_count. These env
-vars must be set before jax initializes its backends.
+Multi-chip sharding (shard_map/pjit over a Mesh) is validated here without
+TPU hardware via virtual CPU devices.
+
+The session environment may register an 'axon' TPU-tunnel PJRT plugin at
+interpreter start (sitecustomize) and pin JAX_PLATFORMS=axon. Env vars are
+read at jax import (which sitecustomize already did), so we override via
+jax.config.update BEFORE any backend is initialized: this forces the CPU
+platform, 8 virtual devices, float32 matmul accumulate (this build defaults
+to TPU-like bf16 passes even on CPU), and a persistent compilation cache
+(XLA-CPU compile times here are erratic; the cache amortizes across runs).
 """
 
 import os
 import sys
 
-# Force-override: the session environment may pin JAX_PLATFORMS to a TPU
-# tunnel ('axon'); tests must be hermetic on host CPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-# This jax build defaults to TPU-like reduced (bf16) matmul precision even on
-# CPU; parity tests need full float32 accumulate. (The env var is not read by
-# this jax version, so set the config programmatically below.)
-os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "float32")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-# Persistent compilation cache: XLA-CPU compile times in this container are
-# erratic; cache compiled executables across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402  (env must be set before this import)
+import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "float32")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_ROOT = "/root/reference"
 

@@ -1,0 +1,136 @@
+"""Train-step tests on a virtual 8-device CPU mesh.
+
+Validates: (a) the vocab-parallel (model-axis) math is numerically identical
+to an unsharded classifier — compared at fixed data-axis size, since
+BatchNorm intentionally uses local-batch statistics (torch-DDP semantics) and
+therefore the data-axis size is part of the numerics; (b) the vocab-parallel
+AAM loss equals the plain full-classifier AAM loss (BN-free model, padded
+class count); (c) training learns a separable toy problem.
+"""
+
+import flax.linen as nn
+import jax
+import numpy as np
+import pytest
+
+from speaker3d_tpu.parallel.mesh import make_mesh
+from speaker3d_tpu.train.losses import arc_margin_loss
+from speaker3d_tpu.train.sv_train import (
+    SVTrainConfig,
+    init_sv_train_state,
+    make_sv_train_step,
+)
+
+
+class TinyModel(nn.Module):
+    emb: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(32)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.emb)(x.mean(axis=1))
+
+
+class TinyModelNoBN(nn.Module):
+    emb: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(nn.Dense(32)(x))
+        return nn.Dense(self.emb)(x.mean(axis=1))
+
+
+CFG = SVTrainConfig(num_classes=10, embedding_size=16, max_lr=0.05,
+                    min_lr=1e-3, warmup_epoch=1, fix_epoch=10,
+                    step_per_epoch=10, increase_start_epoch=2,
+                    margin_fix_epoch=5, final_margin=0.2)
+
+
+def _batch(seed=0, b=8, t=12, f=20, num_classes=10):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, b)
+    feats = rng.standard_normal((b, t, f)).astype(np.float32) * 0.1
+    for i, lab in enumerate(labels):
+        feats[i, :, lab] += 2.0
+    return {"feats": feats, "labels": labels.astype(np.int32)}
+
+
+def _get(tree):
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_model_axis_matches_unsharded_classifier():
+    """(4 data, 2 model) must equal (4 data, 1 model) bit-for-bit-ish."""
+    model = TinyModel()
+    rng = jax.random.PRNGKey(0)
+    batch = _batch()
+
+    mesh42 = make_mesh(4, 2)
+    mesh41 = make_mesh(4, 1, devices=jax.devices()[:4])
+
+    state42 = init_sv_train_state(rng, model, batch["feats"][:1], CFG, mesh42)
+    host = _get(state42)
+    state41 = init_sv_train_state(rng, model, batch["feats"][:1], CFG, mesh41)
+    np.testing.assert_allclose(_get(state41)["cls_w"], host["cls_w"])
+
+    step42 = make_sv_train_step(model, CFG, mesh42, host)
+    step41 = make_sv_train_step(model, CFG, mesh41, host)
+
+    new42, m42 = step42(state42, batch)
+    new41, m41 = step41(state41, batch)
+
+    assert abs(float(m42["loss"]) - float(m41["loss"])) < 1e-5
+    assert abs(float(m42["acc"]) - float(m41["acc"])) < 1e-6
+    a, b = _get(new42), _get(new41)
+    fa = jax.tree_util.tree_flatten_with_path(a)[0]
+    fb = jax.tree_util.tree_flatten_with_path(b)[0]
+    for (pa, va), (pb, vb) in zip(sorted(fa, key=lambda kv: str(kv[0])),
+                                  sorted(fb, key=lambda kv: str(kv[0]))):
+        np.testing.assert_allclose(va, vb, atol=2e-5, err_msg=str(pa))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_loss_equals_plain_aam():
+    """Vocab-parallel AAM (with class padding: 9 classes over 2 shards)
+    equals the plain full-classifier AAM loss. BN-free model so the plain
+    full-batch forward is exactly the sharded one."""
+    cfg = CFG._replace(num_classes=9)
+    model = TinyModelNoBN()
+    rng = jax.random.PRNGKey(1)
+    batch = _batch(seed=3, num_classes=9)
+    mesh = make_mesh(4, 2)
+    state = init_sv_train_state(rng, model, batch["feats"][:1], cfg, mesh)
+    host = _get(state)
+    step = make_sv_train_step(model, cfg, mesh, host)
+    _, metrics = step(state, batch)
+
+    out = model.apply({"params": host["params"]}, batch["feats"], train=True)
+    out = np.asarray(out)
+    w = host["cls_w"][:cfg.num_classes]
+    cos = (out / np.linalg.norm(out, axis=-1, keepdims=True)) @ (
+        w / np.linalg.norm(w, axis=-1, keepdims=True)).T
+    want = float(arc_margin_loss(np.asarray(cos, np.float32),
+                                 batch["labels"], 0.0, scale=cfg.scale))
+    assert abs(float(metrics["loss"]) - want) < 1e-5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_training_learns():
+    model = TinyModel()
+    rng = jax.random.PRNGKey(2)
+    mesh = make_mesh(4, 2)
+    batch = _batch(seed=0)
+    state = init_sv_train_state(rng, model, batch["feats"][:1], CFG, mesh)
+    step = make_sv_train_step(model, CFG, mesh, _get(state))
+
+    losses, accs = [], []
+    for i in range(60):
+        state, metrics = step(state, _batch(seed=i % 4))
+        losses.append(float(metrics["loss"]))
+        accs.append(float(metrics["acc"]))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+    assert np.mean(accs[-8:]) > 0.8, accs[-8:]
+    assert int(_get(state)["step"]) == 60
