@@ -1,0 +1,159 @@
+"""Embedding extraction CLI.
+
+Behavioral contract (reference: speakerlab/bin/extract.py + the batch
+semantics of bin/infer_sv_batch.py:388-411): read an experiment dir (config +
+checkpoint) or an explicit model spec, shard the wav.scp across processes,
+extract one embedding per utterance, write .npz embedding archives.
+
+Two modes:
+  - ``chunked`` (default, static shapes — the TPU-fast path, mirroring
+    infer_sv_batch): cap each wav at 90 s, split into 10 s chunks with the
+    final chunk circle-padded, batch across chunks, average the chunk
+    embeddings per utterance.
+  - ``exact`` (reference extract.py semantics): embed each full variable-
+    length utterance; one compile per distinct frame count (cached).
+
+Usage:
+  python -m speaker3d_tpu.cli.extract --exp_dir exp/foo --data wav.scp \
+      --out_dir exp/foo/embeddings [--mode chunked]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from speaker3d_tpu.diar.pipeline import circle_pad
+from speaker3d_tpu.eval.scoring import save_embeddings
+from speaker3d_tpu.utils.fileio import load_audio, load_wav_scp
+
+CHUNK_SECONDS = 10.0
+MAX_SECONDS = 90.0
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Extract speaker embeddings")
+    p.add_argument("--exp_dir", default=None, help="experiment dir with config + ckpt")
+    p.add_argument("--model_id", default=None, help="pretrained model id (registry)")
+    p.add_argument("--data", required=True, help="wav.scp")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--mode", choices=["chunked", "exact"], default="chunked")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--sample_rate", type=int, default=16000)
+    return p.parse_args(argv)
+
+
+def build_model_from_exp(exp_dir: str):
+    """Rebuild model + variables from an experiment dir (cli.train layout)."""
+    import jax
+
+    from speaker3d_tpu.utils.builder import dynamic_import
+    from speaker3d_tpu.utils.checkpoint import Checkpointer
+    from speaker3d_tpu.utils.config import build_config
+
+    config = build_config(os.path.join(exp_dir, "config.yaml"))
+    model_cls = dynamic_import(config["model"]["obj"])
+    model = model_cls(**config["model"].get("args", {}))
+    ckpt = Checkpointer(os.path.join(exp_dir, "models"))
+    states = ckpt.recover_if_possible()
+    if states is None or "train_state" not in states:
+        raise FileNotFoundError(f"no checkpoint under {exp_dir}/models")
+    ts = states["train_state"]
+    variables = {"params": ts["params"], "batch_stats": ts["batch_stats"]}
+    return model, variables, config
+
+
+def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
+                       sample_rate=16000, feature_fn=None, model=None,
+                       variables=None):
+    """Return {utt: emb}. ``embed_fn``: [B, L] -> [B, D] (chunked mode)."""
+    out = {}
+    if mode == "chunked":
+        chunk = int(CHUNK_SECONDS * sample_rate)
+        max_len = int(MAX_SECONDS * sample_rate)
+        pending: list = []  # (utt, n_chunks accumulated)
+        buf = []
+
+        def flush():
+            if not buf:
+                return
+            wavs = np.stack([b[1] for b in buf])
+            n = wavs.shape[0]
+            if n < batch_size:
+                wavs = np.concatenate(
+                    [wavs, np.zeros((batch_size - n, chunk), np.float32)])
+            embs = np.asarray(embed_fn(wavs))[:n]
+            for (utt, _), e in zip(buf, embs):
+                out.setdefault(utt, []).append(e)
+            buf.clear()
+
+        for utt, path in wav_scp.items():
+            wav = load_audio(path, obj_fs=sample_rate)[0][:max_len]
+            if wav.shape[0] == 0:
+                continue
+            # 10s chunks; final partial chunk circle-padded
+            # (reference: bin/infer_sv_batch.py:402-411)
+            for s in range(0, wav.shape[0], chunk):
+                piece = wav[s:s + chunk]
+                buf.append((utt, circle_pad(piece, chunk)))
+                if len(buf) == batch_size:
+                    flush()
+        flush()
+        return {utt: np.mean(np.stack(es), axis=0) for utt, es in out.items()}
+
+    # exact mode: full-utterance embedding, compile per distinct length
+    import jax
+
+    from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
+
+    fbank = feature_fn or KaldiFbank(
+        FbankConfig(sample_rate=sample_rate), mean_norm=True)
+
+    @jax.jit
+    def embed_full(wav):
+        feats = fbank(wav[None])
+        with jax.default_matmul_precision("highest"):
+            return model.apply(variables, feats)[0]
+
+    for utt, path in wav_scp.items():
+        wav = load_audio(path, obj_fs=sample_rate)[0]
+        out[utt] = np.asarray(embed_full(wav))
+    return out
+
+
+def main(argv=None):
+    import jax
+
+    from speaker3d_tpu.eval.embedding import build_embedding_fn
+    from speaker3d_tpu.parallel.mesh import process_shard
+
+    args = get_args(argv)
+    if args.exp_dir:
+        model, variables, _ = build_model_from_exp(args.exp_dir)
+    elif args.model_id:
+        from speaker3d_tpu.cli.registry import load_pretrained
+
+        model, variables = load_pretrained(args.model_id)
+    else:
+        raise SystemExit("one of --exp_dir / --model_id is required")
+
+    wav_scp = load_wav_scp(args.data)
+    keys = process_shard(sorted(wav_scp))
+    shard_scp = {k: wav_scp[k] for k in keys}
+
+    embed_fn = build_embedding_fn(model, variables, precision="highest",
+                                  sample_rate=args.sample_rate)
+    embs = extract_embeddings(embed_fn, shard_scp, mode=args.mode,
+                              batch_size=args.batch_size,
+                              sample_rate=args.sample_rate,
+                              model=model, variables=variables)
+    os.makedirs(args.out_dir, exist_ok=True)
+    save_embeddings(os.path.join(
+        args.out_dir, f"embeddings_{jax.process_index()}.npz"), embs)
+    print(f"wrote {len(embs)} embeddings to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

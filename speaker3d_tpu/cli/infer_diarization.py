@@ -1,0 +1,119 @@
+"""End-to-end diarization CLI.
+
+Behavioral contract (reference: speakerlab/bin/infer_diarization.py:897-1111
+main/main_process): wav list or directory, per-file: run the diarization
+pipeline, write RTTM + JSON outputs plus the fork's diagnostic sidecars
+(.meta.json RTF, .vad_info.json, .pairs.json, .vad_masked.wav). Work is
+sharded across hosts by file (rank::nprocs -> jax.process_index()).
+
+Usage:
+  python -m speaker3d_tpu.cli.infer_diarization --wav a.wav [b.wav ...] \
+      --out_dir out/ [--model_id iic/speech_eres2netv2w24s4ep4_sv_zh-cn_16k-common]
+      [--speaker_num N] [--out_type rttm|json] [--sidecar]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Speaker diarization")
+    p.add_argument("--wav", nargs="+", required=True,
+                   help="wav files / dirs / list files (.list)")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--model_id",
+                   default="iic/speech_eres2netv2w24s4ep4_sv_zh-cn_16k-common")
+    p.add_argument("--local_model_dir", default="pretrained")
+    p.add_argument("--exp_dir", default=None,
+                   help="use a trained experiment instead of --model_id")
+    p.add_argument("--out_type", choices=["rttm", "json"], default="rttm")
+    p.add_argument("--speaker_num", type=int, default=None)
+    p.add_argument("--vad_threshold", type=float, default=0.5)
+    p.add_argument("--cluster_mer_cos", type=float, default=0.3)
+    p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
+    p.add_argument("--cluster_min_cluster_size", type=int, default=0)
+    p.add_argument("--chunk_dur", type=float, default=1.5)
+    p.add_argument("--chunk_step", type=float, default=0.75)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--no_chunk_after_vad", action="store_true")
+    p.add_argument("--sidecar", action="store_true",
+                   help="write .meta.json/.vad_info.json/.pairs.json/"
+                        ".vad_masked.wav diagnostics")
+    return p.parse_args(argv)
+
+
+def collect_wavs(specs):
+    """(reference: bin/infer_diarization.py wav list handling)"""
+    wavs = []
+    for spec in specs:
+        if os.path.isdir(spec):
+            wavs += sorted(glob.glob(os.path.join(spec, "*.wav")))
+        elif spec.endswith(".list") or spec.endswith(".txt"):
+            with open(spec) as f:
+                wavs += [line.strip() for line in f if line.strip()]
+        else:
+            wavs.append(spec)
+    return wavs
+
+
+def main(argv=None):
+    import jax
+
+    from speaker3d_tpu.diar.pipeline import DiarizationPipeline
+    from speaker3d_tpu.eval.embedding import build_embedding_fn
+    from speaker3d_tpu.parallel.mesh import process_shard
+    from speaker3d_tpu.utils.fileio import load_audio, write_wav
+
+    args = get_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.exp_dir:
+        from speaker3d_tpu.cli.extract import build_model_from_exp
+
+        model, variables, _ = build_model_from_exp(args.exp_dir)
+    else:
+        from speaker3d_tpu.cli.registry import load_pretrained
+
+        model, variables = load_pretrained(args.model_id, args.local_model_dir)
+
+    embed_fn = build_embedding_fn(model, variables, precision="high")
+    pipe = DiarizationPipeline(
+        embed_fn,
+        vad_threshold=args.vad_threshold,
+        cluster_mer_cos=args.cluster_mer_cos,
+        cluster_fix_cos_thr=args.cluster_fix_cos_thr,
+        cluster_min_cluster_size=args.cluster_min_cluster_size,
+        chunk_dur=args.chunk_dur,
+        chunk_step=args.chunk_step,
+        batch_size=args.batch_size,
+        no_chunk_after_vad=args.no_chunk_after_vad,
+        speaker_num=args.speaker_num,
+    )
+
+    wavs = process_shard(collect_wavs(args.wav))
+    for wav_path in wavs:
+        base = os.path.splitext(os.path.basename(wav_path))[0]
+        fields = pipe(wav_path, speaker_num=args.speaker_num)
+        out_file = os.path.join(args.out_dir, f"{base}.{args.out_type}")
+        pipe.save_diar_output(out_file, wav_id=base)
+        print(f"{base}: {len(fields)} segments, "
+              f"{len({f[2] for f in fields})} speakers -> {out_file}")
+        if args.sidecar:
+            wav = load_audio(wav_path, obj_fs=16000)
+            pipe.save_meta(os.path.join(args.out_dir, f"{base}.meta.json"),
+                           wav.shape[-1] / 16000.0)
+            pipe.save_vad_info(os.path.join(args.out_dir,
+                                            f"{base}.vad_info.json"))
+            pipe.save_pairs(os.path.join(args.out_dir, f"{base}.pairs.json"))
+            if pipe.last_vad_masked_audio is not None:
+                write_wav(os.path.join(args.out_dir, f"{base}.vad_masked.wav"),
+                          pipe.last_vad_masked_audio, 16000)
+
+
+if __name__ == "__main__":
+    main()

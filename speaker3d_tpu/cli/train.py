@@ -1,0 +1,158 @@
+"""Supervised SV trainer CLI.
+
+Behavioral contract (reference: speakerlab/bin/train.py:26-176): build config
+(YAML + CLI overrides), dataset/loader, model + classifier, optimizer and
+schedules, recover from checkpoint, then per-epoch: train loop with stats
+logging, checkpoint per epoch.
+
+TPU-native differences: no torchrun — one process per HOST (multi-host via
+jax.distributed), devices addressed through a ('data','model') mesh with the
+whole step jit-compiled (see train/sv_train.py); fbank runs on device inside
+the step.
+
+Usage:
+  python -m speaker3d_tpu.cli.train --config configs/eres2netv2.yaml \
+      [--any_yaml_key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from speaker3d_tpu.data.dataset import BatchLoader, WavSVDataset
+from speaker3d_tpu.data.processors import SpkLabelEncoder, SpkVeriAug, WavReader
+from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
+from speaker3d_tpu.parallel.mesh import make_mesh
+from speaker3d_tpu.train.sv_train import (
+    SVTrainConfig,
+    init_sv_train_state,
+    make_sv_train_step,
+)
+from speaker3d_tpu.utils.builder import dynamic_import
+from speaker3d_tpu.utils.checkpoint import Checkpointer, EpochCounter, EpochLogger
+from speaker3d_tpu.utils.config import build_config
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train a speaker embedding model")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--seed", type=int, default=1234)
+    args, overrides = parser.parse_known_args(argv)
+    return args, overrides
+
+
+def main(argv=None):
+    args, overrides = get_args(argv)
+    config = build_config(args.config, overrides, copy_to_exp_dir=True)
+    exp_dir = config["exp_dir"]
+    os.makedirs(exp_dir, exist_ok=True)
+
+    # data pipeline (host)
+    wav_reader = WavReader(
+        sample_rate=config.get("sample_rate", 16000),
+        duration=config.get("wav_len", 3.0),
+        speed_pertub=config.get("speed_pertub", True),
+    )
+    label_encoder = SpkLabelEncoder(config["data"])
+    aug = SpkVeriAug(
+        aug_prob=config.get("aug_prob", 0.0),
+        noise_file=config.get("noise"),
+        reverb_file=config.get("reverb"),
+    ) if config.get("aug_prob", 0.0) > 0 else None
+    dataset = WavSVDataset(config["data"], wav_reader, label_encoder, aug)
+
+    loader = BatchLoader(
+        dataset,
+        batch_size=config.get("batch_size", 128),
+        num_workers=config.get("num_workers", 8),
+        seed=args.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    step_per_epoch = len(loader)
+
+    # model + mesh + compiled step
+    model_cls = dynamic_import(config["model"]["obj"])
+    model = model_cls(**config["model"].get("args", {}))
+    mesh = make_mesh(model=config.get("model_parallel", 1))
+
+    cfg = SVTrainConfig(
+        num_classes=dataset.num_classes,
+        embedding_size=config.get("embedding_size", 192),
+        momentum=config.get("momentum", 0.9),
+        nesterov=config.get("nesterov", True),
+        weight_decay=config.get("weight_decay", 1e-4),
+        min_lr=config.get("min_lr", 1e-4),
+        max_lr=config.get("max_lr", 0.2),
+        warmup_epoch=config.get("warmup_epoch", 5),
+        fix_epoch=config.get("num_epoch", 70),
+        step_per_epoch=max(step_per_epoch, 1),
+        initial_margin=config.get("initial_margin", 0.0),
+        final_margin=config.get("final_margin", 0.3),
+        increase_start_epoch=config.get("increase_start_epoch", 20),
+        margin_fix_epoch=config.get("margin_fix_epoch", 50),
+        scale=config.get("scale", 32.0),
+    )
+
+    fbank = KaldiFbank(FbankConfig(
+        sample_rate=config.get("sample_rate", 16000),
+        num_mel_bins=config.get("n_mels", 80)), mean_norm=True)
+
+    rng = jax.random.PRNGKey(args.seed)
+    example_wav = np.zeros((1, int(config.get("wav_len", 3.0)
+                                   * config.get("sample_rate", 16000))),
+                           np.float32)
+    example_feats = np.asarray(fbank(example_wav))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, example_feats, train=True)
+    state = init_sv_train_state(rng, model, example_feats, cfg, mesh,
+                                backbone_variables=variables)
+    host_state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    train_step = make_sv_train_step(model, cfg, mesh, host_state,
+                                    feature_fn=fbank)
+
+    # checkpoint/resume (reference: bin/train.py:77-83)
+    epoch_counter = EpochCounter(config.get("num_epoch", 70))
+    checkpointer = Checkpointer(os.path.join(exp_dir, "models"),
+                                recoverables={"epoch_counter": epoch_counter})
+    recovered = checkpointer.recover_if_possible()
+    if recovered is not None and "train_state" in recovered:
+        from speaker3d_tpu.train.sv_train import state_shardings
+
+        state = jax.device_put(recovered["train_state"],
+                               state_shardings(host_state, mesh))
+        print(f"recovered from epoch {recovered['__meta__']['epoch']}")
+
+    logger = EpochLogger(os.path.join(exp_dir, "train_epoch.log"))
+    label_encoder.save(os.path.join(exp_dir, "label_encoder.pkl"))
+
+    log_every = config.get("log_batch_freq", 50)
+    for epoch in epoch_counter:
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        losses, accs = [], []
+        for i, batch in enumerate(loader):
+            state, metrics = train_step(state, batch)
+            if (i + 1) % log_every == 0:
+                losses.append(float(metrics["loss"]))
+                accs.append(float(metrics["acc"]))
+                print(f"epoch {epoch} step {i+1}/{step_per_epoch} "
+                      f"loss {losses[-1]:.4f} acc {accs[-1]:.3f} "
+                      f"lr {float(metrics['lr']):.5f} "
+                      f"margin {float(metrics['margin']):.3f}", flush=True)
+        if jax.process_index() == 0:
+            logger.log_stats(
+                {"epoch": epoch, "time_s": round(time.time() - t0, 1)},
+                {"avg_loss": float(np.mean(losses)) if losses else None,
+                 "avg_acc": float(np.mean(accs)) if accs else None})
+            host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+            checkpointer.save_checkpoint(epoch, {"train_state": host})
+
+
+if __name__ == "__main__":
+    main()

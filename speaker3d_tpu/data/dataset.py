@@ -1,0 +1,120 @@
+"""Supervised SV dataset + threaded host loader.
+
+Behavioral contract (reference: speakerlab/dataset/dataset.py:17-38
+WavSVDataset): CSV row -> wav_reader (crop/speed) -> label_encoder ->
+augmentation -> sample. Unlike the reference (which computes fbank per-sample
+on CPU dataloader workers), this pipeline emits raw wav crops: fbank runs on
+DEVICE fused into the train step, so host workers only decode/augment —
+keeping CPUs from starving the chips (the reference's CPU fbank is its data
+bottleneck, SURVEY.md §3.1).
+
+The loader is a prefetching thread pool producing fixed-shape numpy batches;
+per-host sharding for multi-host data parallelism is plain round-robin by
+example (reference: DistributedSampler semantics, bin/train.py:45-48).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from speaker3d_tpu.data.processors import SpkLabelEncoder, SpkVeriAug, WavReader
+from speaker3d_tpu.utils.fileio import load_data_csv
+
+
+class WavSVDataset:
+    """(reference: dataset/dataset.py:17-38)"""
+
+    def __init__(self, data_file, wav_reader: WavReader,
+                 label_encoder: SpkLabelEncoder,
+                 augmentations: Optional[SpkVeriAug] = None):
+        self.data = load_data_csv(data_file)
+        self.keys = list(self.data.keys())
+        self.wav_reader = wav_reader
+        self.label_encoder = label_encoder
+        self.augmentations = augmentations
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        row = self.data[self.keys[index]]
+        wav, speed_idx = self.wav_reader(row["wav"])
+        label = self.label_encoder(row["spk"], speed_idx)
+        if self.augmentations is not None:
+            wav = self.augmentations(wav)
+        return wav.astype(np.float32), np.int32(label)
+
+    @property
+    def num_classes(self):
+        mult = 3 if self.wav_reader.speed_pertub else 1
+        return len(self.label_encoder) * mult
+
+
+class BatchLoader:
+    """Prefetching batch iterator over a map-style dataset.
+
+    Yields {'wavs': [B, L] float32, 'labels': [B] int32}. Epoch-seeded
+    shuffling; drops the last partial batch (static shapes for jit).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 8, seed: int = 0, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        order = order[self.process_index::self.process_count]
+        n_batches = len(order) // self.batch_size if self.drop_last \
+            else -(-len(order) // self.batch_size)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    wavs = np.stack([s[0] for s in samples])
+                    labels = np.asarray([s[1] for s in samples], np.int32)
+                    q.put({"wavs": wavs, "labels": labels})
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -116,19 +116,27 @@ def state_shardings(state, mesh: Mesh):
 
 
 def make_sv_train_step(model, cfg: SVTrainConfig, mesh: Mesh,
-                       state_example) -> Callable:
+                       state_example, feature_fn: Optional[Callable] = None
+                       ) -> Callable:
     """Compile the train step. ``state_example`` provides the state pytree
-    structure for spec construction (can be the initial state)."""
+    structure for spec construction (can be the initial state).
+
+    ``feature_fn``: optional on-device feature frontend (e.g. KaldiFbank);
+    when given, batches carry raw ``wavs`` [B, L] and fbank fuses into the
+    compiled step (sharded over the data axis with everything else)."""
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
     c_pad = _padded_classes(cfg.num_classes, n_model)
     c_local = c_pad // n_model
 
     specs = state_specs(state_example)
-    batch_specs = {"feats": P("data"), "labels": P("data")}
+    batch_key = "wavs" if feature_fn is not None else "feats"
+    batch_specs = {batch_key: P("data"), "labels": P("data")}
 
     def shard_body(state, batch):
-        feats, labels = batch["feats"], batch["labels"]
+        feats, labels = batch[batch_key], batch["labels"]
+        if feature_fn is not None:
+            feats = feature_fn(feats)
         local_b = feats.shape[0]
         global_b = local_b * n_data
 

@@ -24,12 +24,13 @@ META_FNAME = f"{CKPT_PREFIX}.yaml"
 
 
 def save_pytree(path: str, tree) -> None:
-    """Flatten a pytree of arrays into an .npz keyed by '/'-joined paths."""
+    """Flatten a pytree of arrays into an .npz keyed by '/'-joined paths.
+    Written via a file handle so numpy does not append a second extension."""
     from flax import traverse_util
-    import jax
 
     flat = traverse_util.flatten_dict(tree, sep="/")
-    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+    with open(path, "wb") as f:
+        np.savez(f, **{k: np.asarray(v) for k, v in flat.items()})
 
 
 def load_pytree(path: str) -> Dict:
@@ -131,11 +132,16 @@ class Checkpointer:
             if not fname.endswith(".ckpt"):
                 continue
             name = fname[:-len(".ckpt")]
+            fpath = os.path.join(d, fname)
             obj = self.recoverables.get(name)
             if obj is not None and hasattr(obj, "load"):
-                obj.load(os.path.join(d, fname))
+                obj.load(fpath)
             else:
-                states[name] = load_pytree(os.path.join(d, fname))
+                with open(fpath, "rb") as f:
+                    is_zip = f.read(2) == b"PK"
+                if is_zip:  # npz pytree; anything else belongs to an
+                    states[name] = load_pytree(fpath)  # unregistered object
+
         states["__meta__"] = meta
         return states
 
