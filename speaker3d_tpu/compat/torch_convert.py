@@ -30,6 +30,8 @@ _LEAF_TO_TORCH = {
     "var": "running_var",
     "embedding": "weight",
     "weight": "weight",  # raw nn.Parameter kept in torch layout (e.g. CosineClassifier)
+    "weight_g": "weight_g",  # weight-normed linear (RDINO head), torch layout
+    "weight_v": "weight_v",
 }
 
 

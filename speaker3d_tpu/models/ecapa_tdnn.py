@@ -23,7 +23,10 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+from speaker3d_tpu.models.common import batch_norm
 
 
 class SBConv1d(nn.Module):
@@ -61,7 +64,7 @@ class TDNNBlock(nn.Module):
         x = SBConv1d(self.out_channels, self.kernel_size, self.dilation,
                      self.groups, name="conv")(x)
         x = nn.relu(x)
-        return nn.BatchNorm(use_running_average=not train, name="norm.norm")(x)
+        return batch_norm(train, "norm.norm")(x)
 
 
 class Res2NetBlock(nn.Module):
@@ -178,9 +181,18 @@ class ECAPA_TDNN(nn.Module):
     res2net_scale: int = 8
     se_channels: int = 128
     global_context: bool = True
+    # SSL variant: input is a *linear* mel-spectrogram; apply log + per-
+    # utterance instance norm over time, detached
+    # (reference: models/rdino/ECAPA_TDNN.py:438-441)
+    ssl_input_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.ssl_input_norm:
+            x = jnp.log(x + 1e-6)
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)  # biased (InstanceNorm1d)
+            x = jax.lax.stop_gradient((x - mean) / jnp.sqrt(var + 1e-5))
         xl = []
         x = TDNNBlock(self.channels[0], self.kernel_sizes[0], self.dilations[0],
                       name="blocks.0")(x, train)
@@ -196,6 +208,6 @@ class ECAPA_TDNN(nn.Module):
                       self.dilations[-1], name="mfa")(x, train)
         x = AttentiveStatisticsPooling(
             self.attention_channels, self.global_context, name="asp")(x, train)
-        x = nn.BatchNorm(use_running_average=not train, name="asp_bn.norm")(x)
+        x = batch_norm(train, "asp_bn.norm")(x)
         x = nn.Dense(self.lin_neurons, name="fc.conv")(x)
         return x
