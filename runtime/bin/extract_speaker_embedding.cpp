@@ -1,0 +1,86 @@
+// wav.scp -> per-utterance speaker embeddings + RTF log.
+//
+// Behavioral contract (reference: runtime/onnxruntime/bin/
+// extract_speaker_embedding.cpp:79-125): read a wav.scp, per utterance decode
+// + fbank (native) + model forward (XLA via embedded bridge), write one
+// embedding text file per utterance, report total wall-clock vs audio
+// duration (real-time factor).
+//
+// Usage: extract_speaker_embedding <wav.scp> <out_dir> <model_spec>
+//        [--local_model_dir DIR] [--repo_root DIR]
+
+#include <chrono>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <string>
+
+#include "s3d/embedder.h"
+#include "s3d/fbank.h"
+#include "s3d/wav.h"
+
+int main(int argc, char** argv) {
+  if (argc < 4) {
+    std::fprintf(stderr,
+                 "usage: %s <wav.scp> <out_dir> <model_spec> "
+                 "[--local_model_dir DIR] [--repo_root DIR]\n",
+                 argv[0]);
+    return 1;
+  }
+  std::string local_model_dir = "pretrained";
+  std::string repo_root = ".";
+  for (int i = 4; i + 1 < argc; ++i) {
+    if (std::strcmp(argv[i], "--local_model_dir") == 0)
+      local_model_dir = argv[i + 1];
+    if (std::strcmp(argv[i], "--repo_root") == 0) repo_root = argv[i + 1];
+  }
+
+  s3d::FbankOptions opts;
+  opts.mean_norm = true;
+  s3d::FbankComputer fbank(opts);
+  s3d::Embedder embedder(argv[3], local_model_dir, repo_root);
+
+  std::ifstream scp(argv[1]);
+  if (!scp) {
+    std::fprintf(stderr, "cannot open %s\n", argv[1]);
+    return 1;
+  }
+
+  double total_audio_s = 0.0;
+  int count = 0;
+  const auto t0 = std::chrono::steady_clock::now();
+
+  std::string line;
+  while (std::getline(scp, line)) {
+    std::istringstream ss(line);
+    std::string utt, path;
+    if (!(ss >> utt >> path)) continue;
+    const s3d::WavData wav = s3d::ReadWav(path);
+    total_audio_s += static_cast<double>(wav.samples.size()) / wav.sample_rate;
+    const auto feats = fbank.Compute(wav.samples);
+    const auto emb = embedder.Embed(feats);
+
+    const std::string out_path = std::string(argv[2]) + "/" + utt + ".emb";
+    std::FILE* f = std::fopen(out_path.c_str(), "w");
+    if (!f) {
+      std::perror("fopen");
+      return 1;
+    }
+    for (size_t i = 0; i < emb.size(); ++i)
+      std::fprintf(f, "%s%.6f", i ? " " : "", emb[i]);
+    std::fprintf(f, "\n");
+    std::fclose(f);
+    ++count;
+  }
+
+  const double elapsed =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+          .count();
+  std::fprintf(stderr,
+               "processed %d utts, %.2f s audio in %.2f s wall "
+               "(RTF %.4f, %.1fx realtime)\n",
+               count, total_audio_s, elapsed, elapsed / total_audio_s,
+               total_audio_s / elapsed);
+  return 0;
+}
