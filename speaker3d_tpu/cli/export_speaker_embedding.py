@@ -1,0 +1,117 @@
+"""Serialized-model export CLI — the TPU-era analogue of ONNX export.
+
+Behavioral contract (reference: speakerlab/bin/
+export_speaker_embedding_onnx.py): take a registry model id or experiment
+dir, export the feature->embedding function as a portable serialized
+artifact with a dynamic batch axis (input 'feature' [B, T, 80] -> output
+'embedding' [B, D]); verify the exported artifact against the source model
+before writing.
+
+Here the artifact is a jax.export StableHLO serialization (.stablehlo):
+loadable by jax.export.deserialize in any process (including the native
+runtime bridge) and compilable ahead-of-time for CPU or TPU. Dynamic axes
+use shape polymorphism where the architecture allows it, else a fixed-shape
+set is exported.
+
+Usage:
+  python -m speaker3d_tpu.cli.export_speaker_embedding \
+      --exp_dir exp/foo --out model.stablehlo [--frames 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def export_model(model, variables, *, feat_dim=80, frames=300,
+                 try_polymorphic=True, precision="high"):
+    """Returns (serialized_bytes, meta dict)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    def fn(feature):
+        with jax.default_matmul_precision(precision):
+            return model.apply(variables, feature)
+
+    jfn = jax.jit(fn)
+    meta = {"feat_dim": feat_dim}
+    if try_polymorphic:
+        try:
+            b, = jexport.symbolic_shape("b")
+            exp = jexport.export(jfn)(
+                jax.ShapeDtypeStruct((b, frames, feat_dim), jnp.float32))
+            meta.update(dynamic_batch=True, frames=frames)
+            return exp.serialize(), meta
+        except Exception as e:  # fall back to static shapes
+            meta["poly_error"] = str(e)[:200]
+    exp = jexport.export(jfn)(
+        jax.ShapeDtypeStruct((1, frames, feat_dim), jnp.float32))
+    meta.update(dynamic_batch=False, frames=frames)
+    return exp.serialize(), meta
+
+
+def load_exported(path):
+    """Deserialize an exported model -> callable(feature)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    return exp.call
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Export speaker embedding model")
+    p.add_argument("--exp_dir", default=None)
+    p.add_argument("--model_id", default=None)
+    p.add_argument("--local_model_dir", default="pretrained")
+    p.add_argument("--out", required=True, help="output .stablehlo path")
+    p.add_argument("--frames", type=int, default=300)
+    p.add_argument("--feat_dim", type=int, default=80)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import json
+
+    args = get_args(argv)
+    if args.exp_dir:
+        from speaker3d_tpu.cli.extract import build_model_from_exp
+
+        model, variables, _ = build_model_from_exp(args.exp_dir)
+    elif args.model_id:
+        from speaker3d_tpu.cli.registry import load_pretrained
+
+        model, variables = load_pretrained(args.model_id, args.local_model_dir)
+    else:
+        raise SystemExit("one of --exp_dir / --model_id required")
+
+    blob, meta = export_model(model, variables, feat_dim=args.feat_dim,
+                              frames=args.frames)
+
+    # verification vs source model (the reference README instructs comparing
+    # ONNX vs torch embeddings; we verify automatically before writing)
+    import jax
+
+    run = None
+    from jax import export as jexport
+
+    exp = jexport.deserialize(blob)
+    feats = np.random.default_rng(0).standard_normal(
+        (1, args.frames, args.feat_dim)).astype(np.float32)
+    got = np.asarray(exp.call(feats))
+    with jax.default_matmul_precision("high"):
+        want = np.asarray(model.apply(variables, feats))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    with open(args.out + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"exported {len(blob)} bytes -> {args.out} (meta: {meta})")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,12 @@ class EnergyVAD:
         frames = x[: n_frames * self.hop_size].reshape(n_frames, self.hop_size)
         energy = np.sqrt(np.mean(np.square(frames), axis=1) + 1e-12)
         noise = np.percentile(energy, self.noise_percentile)
-        thr = max(self.abs_floor, noise * self.snr_factor)
+        # Cap at half the loud-frame level so recordings with no silence
+        # (noise floor == speech level) still classify as speech; the
+        # absolute floor keeps all-silence recordings silent.
+        thr = max(self.abs_floor,
+                  min(noise * self.snr_factor,
+                      0.5 * np.percentile(energy, 95)))
         flags = (energy > thr).astype(int).tolist()
         return flags, x
 

@@ -1,0 +1,121 @@
+"""Tests for the remaining CLI surface: export, check_single_speaker,
+infer_sv_batch, predict_label — on a shared tiny trained experiment."""
+
+import json
+import os
+import subprocess
+
+import numpy as np
+import pytest
+import yaml
+
+FS = 16000
+
+
+@pytest.fixture(scope="module")
+def tiny_exp(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("exp_extra"))
+    rng = np.random.default_rng(0)
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    os.makedirs(os.path.join(root, "wav"), exist_ok=True)
+    rows = []
+    for s in range(2):
+        for u in range(4):
+            wav = (0.3 * np.sin(2 * np.pi * (250 + 900 * s)
+                                * np.arange(FS) / FS)
+                   + 0.01 * rng.standard_normal(FS)).astype(np.float32)
+            p = os.path.join(root, "wav", f"s{s}u{u}.wav")
+            write_wav(p, wav, FS)
+            rows.append((f"s{s}u{u}", p, f"lang{s}"))
+    with open(os.path.join(root, "train.csv"), "w") as f:
+        f.write("ID,wav,spk\n")
+        for rid, p, spk in rows:
+            f.write(f"{rid},{p},{spk}\n")
+    config = {
+        "exp_dir": os.path.join(root, "exp"),
+        "data": os.path.join(root, "train.csv"),
+        "wav_len": 0.5, "speed_pertub": False, "aug_prob": 0.0,
+        "batch_size": 8, "num_workers": 2, "num_epoch": 3,
+        "embedding_size": 16, "max_lr": 0.1, "min_lr": 0.01,
+        "warmup_epoch": 1, "log_batch_freq": 1,
+        "model": {"obj": "speaker3d_tpu.models.xvector.Xvector",
+                  "args": {"feat_dim": 80, "hid_dim": 16, "stats_dim": 32,
+                           "embed_dim": 16}},
+    }
+    cfg_path = os.path.join(root, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+    from speaker3d_tpu.cli.train import main as train_main
+
+    train_main(["--config", cfg_path])
+    return root, config, rows
+
+
+def test_export_and_reload(tiny_exp, tmp_path):
+    root, config, rows = tiny_exp
+    out = os.path.join(tmp_path, "model.stablehlo")
+    from speaker3d_tpu.cli.export_speaker_embedding import (
+        load_exported,
+        main as export_main,
+    )
+
+    export_main(["--exp_dir", config["exp_dir"], "--out", out,
+                 "--frames", "60"])
+    assert os.path.isfile(out)
+    meta = json.load(open(out + ".json"))
+    fn = load_exported(out)
+    feats = np.random.default_rng(1).standard_normal(
+        (1, 60, 80)).astype(np.float32)
+    emb = np.asarray(fn(feats))
+    assert emb.shape == (1, 16)
+
+
+def test_check_single_speaker(tiny_exp, tmp_path):
+    root, config, rows = tiny_exp
+    out = os.path.join(tmp_path, "verdict.json")
+    from speaker3d_tpu.cli.check_single_speaker import main as css_main
+
+    css_main(["--wav", rows[0][1], "--exp_dir", config["exp_dir"],
+              "--out", out, "--threshold", "0.5"])
+    data = json.load(open(out))
+    assert "is_single_speaker" in data
+    assert data["num_segments"] >= 1
+
+
+def test_infer_sv_batch(tiny_exp, tmp_path):
+    root, config, rows = tiny_exp
+    lst = os.path.join(tmp_path, "wavs.list")
+    with open(lst, "w") as f:
+        for _, p, _ in rows[:3]:
+            f.write(p + "\n")
+    out_dir = os.path.join(tmp_path, "embs")
+    from speaker3d_tpu.cli.infer_sv_batch import main as batch_main
+
+    batch_main(["--exp_dir", config["exp_dir"], "--wavs", lst,
+                "--out_dir", out_dir, "--out_type", "npy",
+                "--batch_size", "4"])
+    npys = [f for f in os.listdir(out_dir) if f.endswith(".npy")]
+    assert len(npys) == 3
+    emb = np.load(os.path.join(out_dir, npys[0]))
+    assert emb.shape == (16,)
+
+
+def test_predict_label_accuracy(tiny_exp, tmp_path):
+    root, config, rows = tiny_exp
+    scp = os.path.join(tmp_path, "wav.scp")
+    u2l = os.path.join(tmp_path, "utt2lang")
+    with open(scp, "w") as f, open(u2l, "w") as g:
+        for rid, p, lang in rows:
+            f.write(f"{rid} {p}\n")
+            g.write(f"{rid} {lang}\n")
+    out = os.path.join(tmp_path, "preds.txt")
+    from speaker3d_tpu.cli.predict_label import main as pl_main
+
+    pl_main(["--exp_dir", config["exp_dir"], "--data", scp,
+             "--utt2label", u2l, "--out", out])
+    preds = dict(l.split() for l in open(out))
+    assert len(preds) == len(rows)
+    # two tonal classes trained for 3 epochs should be mostly separable
+    correct = sum(preds[rid] == lang for rid, _, lang in rows)
+    assert correct >= len(rows) // 2
