@@ -32,6 +32,10 @@ _LEAF_TO_TORCH = {
     "weight": "weight",  # raw nn.Parameter kept in torch layout (e.g. CosineClassifier)
     "weight_g": "weight_g",  # weight-normed linear (RDINO head), torch layout
     "weight_v": "weight_v",
+    "gamma": "gamma",        # GlobalLayerNorm (TalkNet), torch layout
+    "beta": "beta",
+    "in_proj_weight": "in_proj_weight",  # torch MultiheadAttention, torch layout
+    "in_proj_bias": "in_proj_bias",
 }
 
 
@@ -61,6 +65,13 @@ def convert_torch_state_dict(
     for path, val in flat.items():
         mods, leaf = list(path[1:-1]), path[-1]
         tleaf = _LEAF_TO_TORCH.get(leaf)
+        if tleaf is None and "." in leaf:
+            # dotted param name (e.g. 'out_proj.weight', kept in torch
+            # layout): route the prefix into the module path
+            head, tail = leaf.rsplit(".", 1)
+            if tail in _LEAF_TO_TORCH:
+                mods = mods + [head]
+                leaf, tleaf = tail, tail  # identity mapping, no transform
         if tleaf is None:
             raise KeyError(f"no torch mapping for flax leaf {path}")
         tkey = prefix + ".".join(mods + [tleaf])
@@ -72,7 +83,9 @@ def convert_torch_state_dict(
             continue
         t = _to_numpy(state_dict[tkey])
         if leaf == "kernel":
-            if t.ndim == 4:
+            if t.ndim == 5:  # Conv3d [O, I, kD, kH, kW] -> DHWIO
+                t = t.transpose(2, 3, 4, 1, 0)
+            elif t.ndim == 4:
                 t = t.transpose(2, 3, 1, 0)
             elif t.ndim == 3:
                 t = t.transpose(2, 1, 0)
