@@ -79,7 +79,14 @@ def main(argv=None):
     # model + mesh + compiled step
     model_cls = dynamic_import(config["model"]["obj"])
     model = model_cls(**config["model"].get("args", {}))
-    mesh = make_mesh(model=config.get("model_parallel", 1))
+    import math as _math
+
+    n_model = config.get("model_parallel", 1)
+    n_dev = len(jax.devices())
+    per_host_batch = config.get("batch_size", 128) // jax.process_count()
+    n_data = _math.gcd(per_host_batch, max(n_dev // n_model, 1))
+    mesh = make_mesh(data=n_data, model=n_model,
+                     devices=jax.devices()[: n_data * n_model])
 
     cfg = SVTrainConfig(
         num_classes=dataset.num_classes,

@@ -103,7 +103,11 @@ def main(argv=None):
     )
 
     model = build_ssl_model(args.variant, config)
-    mesh = make_mesh(model=1)
+    import math as _math
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=_math.gcd(config.get("batch_size", 64), n_dev),
+                     model=1, devices=jax.devices())
     melspec = MelSpectrogram(MelSpecConfig(n_mels=config.get("n_mels", 80)))
 
     lg = int(config.get("max_frames", 400)) * 160

@@ -156,9 +156,10 @@ class SDPNDataset(_SSLCropsBase):
 
 
 class SSLBatchLoader:
-    """Batches multi-crop samples: crops stack crop-major so that
-    reshape(ncrops, B, ...) recovers views (matching the trainer's chunk
-    layout). Yields {'global_wavs': [glb*B, Lg], 'local_wavs': [loc*B, Ll]}."""
+    """Batches multi-crop samples SAMPLE-major: yields
+    {'global_wavs': [B, glb, Lg], 'local_wavs': [B, loc, Ll]} — sharding the
+    batch axis over 'data' keeps every crop of a sample on one shard; the
+    train step transposes to the reference's crop-major layout locally."""
 
     def __init__(self, dataset, batch_size: int, shuffle=True, num_workers=8,
                  seed=0, process_index=0, process_count=1):
@@ -192,9 +193,4 @@ class SSLBatchLoader:
                 samples = list(pool.map(self.dataset.__getitem__, idxs))
                 glb = np.stack([s["global_wavs"] for s in samples])  # [B,G,L]
                 loc = np.stack([s["local_wavs"] for s in samples])
-                yield {
-                    "global_wavs": np.swapaxes(glb, 0, 1).reshape(
-                        -1, glb.shape[-1]),
-                    "local_wavs": np.swapaxes(loc, 0, 1).reshape(
-                        -1, loc.shape[-1]),
-                }
+                yield {"global_wavs": glb, "local_wavs": loc}

@@ -116,6 +116,20 @@ def _replicated_specs(tree):
     return jax.tree_util.tree_map(lambda _: P(), tree)
 
 
+
+def _crop_major(x, feature_fn):
+    """[B_local, G, ...] -> crop-major [G*B_local, T, F], computing features
+    per crop. Batches are SAMPLE-major globally (so sharding the batch axis
+    over 'data' keeps every crop of a sample on one shard) and transposed to
+    the reference's crop-major layout locally."""
+    b, g = x.shape[0], x.shape[1]
+    x = x.reshape((b * g,) + x.shape[2:])
+    if feature_fn is not None:
+        x = feature_fn(x)
+    x = x.reshape((b, g) + x.shape[1:])
+    x = jnp.swapaxes(x, 0, 1)
+    return x.reshape((g * b,) + x.shape[2:])
+
 def init_ssl_state(rng, model, example_global, cfg: SSLTrainConfig,
                    mesh: Mesh, variant: str = "rdino"):
     """Student/teacher start from the same weights (train_rdino.py:69-70)."""
@@ -153,9 +167,8 @@ def make_rdino_train_step(model, cfg: SSLTrainConfig, mesh: Mesh,
     batch_specs = {f"global_{key}": P("data"), f"local_{key}": P("data")}
 
     def shard_body(state, batch):
-        g_in, l_in = batch[f"global_{key}"], batch[f"local_{key}"]
-        if feature_fn is not None:
-            g_in, l_in = feature_fn(g_in), feature_fn(l_in)
+        g_in = _crop_major(batch[f"global_{key}"], feature_fn)
+        l_in = _crop_major(batch[f"local_{key}"], feature_fn)
         step = state["step"]
         lr = ssl_cosine_schedule(step, base_value=cfg.base_lr,
                                  final_value=cfg.min_lr,
@@ -253,9 +266,8 @@ def make_sdpn_train_step(model, cfg: SSLTrainConfig, mesh: Mesh,
     proto_labels = jnp.eye(cfg.num_proto, dtype=jnp.float32)
 
     def shard_body(state, batch):
-        g_in, l_in = batch[f"global_{key}"], batch[f"local_{key}"]
-        if feature_fn is not None:
-            g_in, l_in = feature_fn(g_in), feature_fn(l_in)
+        g_in = _crop_major(batch[f"global_{key}"], feature_fn)
+        l_in = _crop_major(batch[f"local_{key}"], feature_fn)
         step = state["step"]
         lr = ssl_cosine_schedule(step, base_value=cfg.base_lr,
                                  final_value=cfg.min_lr,

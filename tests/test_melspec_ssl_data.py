@@ -76,9 +76,6 @@ def test_ssl_datasets(tmp_path):
 
     loader = SSLBatchLoader(ds, batch_size=3, num_workers=2)
     batch = next(iter(loader))
-    assert batch["global_wavs"].shape == (6, 64000)
-    assert batch["local_wavs"].shape == (12, 32000)
-    # crop-major: reshape(ncrops, B, L) recovers views
-    g = batch["global_wavs"].reshape(2, 3, -1)
-    assert np.allclose(g[0, 0], ds[loader is not None and 0]["global_wavs"][0],
-                       atol=1e9)  # shape check only (random crops differ)
+    # sample-major: [B, n_crops, L]
+    assert batch["global_wavs"].shape == (3, 2, 64000)
+    assert batch["local_wavs"].shape == (3, 4, 32000)

@@ -166,11 +166,11 @@ def test_rdino_train_step_smoke():
     rngb = np.random.default_rng(0)
     B = 8
     batch = {
-        "global_feats": rngb.standard_normal((2 * B, 20, 10)).astype(np.float32),
-        "local_feats": rngb.standard_normal((2 * B, 10, 10)).astype(np.float32),
+        "global_feats": rngb.standard_normal((B, 2, 20, 10)).astype(np.float32),
+        "local_feats": rngb.standard_normal((B, 2, 10, 10)).astype(np.float32),
     }
     state = init_ssl_state(jax.random.PRNGKey(0), model,
-                           batch["global_feats"][:1], cfg, mesh, "rdino")
+                           batch["global_feats"][0, :1], cfg, mesh, "rdino")
     host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
     step = make_rdino_train_step(model, cfg, mesh, host)
 
@@ -211,11 +211,11 @@ def test_sdpn_train_step_smoke():
     rngb = np.random.default_rng(1)
     B = 8
     batch = {
-        "global_feats": rngb.standard_normal((B, 20, 10)).astype(np.float32),
-        "local_feats": rngb.standard_normal((4 * B, 10, 10)).astype(np.float32),
+        "global_feats": rngb.standard_normal((B, 1, 20, 10)).astype(np.float32),
+        "local_feats": rngb.standard_normal((B, 4, 10, 10)).astype(np.float32),
     }
     state = init_ssl_state(jax.random.PRNGKey(1), model,
-                           batch["global_feats"][:1], cfg, mesh, "sdpn")
+                           batch["global_feats"][0, :1], cfg, mesh, "sdpn")
     host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
     step = make_sdpn_train_step(model, cfg, mesh, host)
 
