@@ -1,0 +1,164 @@
+"""Audio-visual diarization: vision processing pipeline + joint clustering.
+
+Behavioral contract (reference: egs/3dspeaker/speaker-diarization/
+run_video.sh + local/vision_processer.py:30): extract 25 fps frames + 16 kHz
+audio, detect/track faces per scene, score active speech per track with
+TalkNet-style ASD, compute face-recognition embeddings for active tracks,
+then reconcile audio clusters with vision tracks via JointClustering
+(process/cluster.py:242).
+
+The reference's face detector / quality / recognition models are external
+ONNX assets (version-RFB-320, fqa, face_recog_ir101); this pipeline takes
+them as callables so any implementation plugs in:
+
+  face_detector(frame_gray [H, W])      -> list of (x, y, w, h)
+  face_embedder(face_crops [N, h, w])   -> [N, D] embeddings
+  asd_scorer(audio_mfcc, face_crops)    -> per-frame speech scores
+
+``asd_scorer`` defaults to the TPU TalkNet model when variables are given.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class FaceTrack:
+    """A contiguous single-face track."""
+
+    start_time: float
+    frame_times: List[float]
+    crops: np.ndarray          # [T, H, W] grayscale face crops
+    asd_scores: Optional[np.ndarray] = None
+    embedding: Optional[np.ndarray] = None
+
+    @property
+    def end_time(self):
+        return self.frame_times[-1] if self.frame_times else self.start_time
+
+
+def build_face_tracks(frames: Sequence[np.ndarray], frame_times: Sequence[float],
+                      face_detector: Callable, iou_threshold: float = 0.5,
+                      crop_size: int = 112) -> List[FaceTrack]:
+    """Greedy IoU tracking of detections across frames.
+    (reference: local/vision_processer.py scene face tracking)"""
+
+    def iou(a, b):
+        ax, ay, aw, ah = a
+        bx, by, bw, bh = b
+        x1, y1 = max(ax, bx), max(ay, by)
+        x2, y2 = min(ax + aw, bx + bw), min(ay + ah, by + bh)
+        inter = max(0, x2 - x1) * max(0, y2 - y1)
+        union = aw * ah + bw * bh - inter
+        return inter / union if union > 0 else 0.0
+
+    def crop(frame, box):
+        x, y, w, h = [int(v) for v in box]
+        h_img, w_img = frame.shape[:2]
+        x, y = max(0, x), max(0, y)
+        patch = frame[y:min(y + h, h_img), x:min(x + w, w_img)]
+        if patch.size == 0:
+            patch = np.zeros((crop_size, crop_size), frame.dtype)
+        # nearest-neighbour resize (no cv2 dependency)
+        ys = (np.linspace(0, patch.shape[0] - 1, crop_size)).astype(int)
+        xs = (np.linspace(0, patch.shape[1] - 1, crop_size)).astype(int)
+        return patch[np.ix_(ys, xs)]
+
+    active: List[dict] = []
+    done: List[FaceTrack] = []
+    for frame, t in zip(frames, frame_times):
+        dets = list(face_detector(frame))
+        matched = set()
+        for tr in active:
+            best, best_iou = None, iou_threshold
+            for di, d in enumerate(dets):
+                if di in matched:
+                    continue
+                v = iou(tr["box"], d)
+                if v >= best_iou:
+                    best, best_iou = di, v
+            if best is not None:
+                matched.add(best)
+                tr["box"] = dets[best]
+                tr["times"].append(t)
+                tr["crops"].append(crop(frame, dets[best]))
+                tr["miss"] = 0
+            else:
+                tr["miss"] += 1
+        still = []
+        for tr in active:
+            if tr["miss"] > 10:
+                done.append(FaceTrack(tr["times"][0], tr["times"],
+                                      np.stack(tr["crops"])))
+            else:
+                still.append(tr)
+        active = still
+        for di, d in enumerate(dets):
+            if di not in matched:
+                active.append({"box": d, "times": [t],
+                               "crops": [crop(frame, d)], "miss": 0})
+    for tr in active:
+        done.append(FaceTrack(tr["times"][0], tr["times"],
+                              np.stack(tr["crops"])))
+    return [t for t in done if len(t.frame_times) >= 3]
+
+
+def score_tracks_asd(tracks: List[FaceTrack], audio_mfcc: np.ndarray,
+                     asd_scorer: Callable, fps: float = 25.0) -> None:
+    """Attach per-frame active-speech scores to each track."""
+    for tr in tracks:
+        t0 = int(round(tr.start_time * fps))
+        n = len(tr.frame_times)
+        a = audio_mfcc[t0 * 4:(t0 + n) * 4]
+        if a.shape[0] < n * 4:
+            a = np.pad(a, ((0, n * 4 - a.shape[0]), (0, 0)))
+        tr.asd_scores = np.asarray(asd_scorer(a, tr.crops))
+
+
+def embed_tracks(tracks: List[FaceTrack], face_embedder: Callable,
+                 active_threshold: float = 0.0) -> None:
+    for tr in tracks:
+        if tr.asd_scores is not None:
+            keep = tr.asd_scores > active_threshold
+            crops = tr.crops[keep] if keep.any() else tr.crops
+        else:
+            crops = tr.crops
+        embs = np.asarray(face_embedder(crops))
+        tr.embedding = embs.mean(axis=0)
+
+
+def tracks_to_vision_inputs(tracks: List[FaceTrack]):
+    """-> (visionX [N, D], visionT [N]) flattened per-frame for
+    JointClustering (frames of a track share its embedding)."""
+    visionX, visionT = [], []
+    for ti, tr in enumerate(tracks):
+        for t in tr.frame_times:
+            visionX.append(tr.embedding)
+            visionT.append(t)
+    order = np.argsort(visionT)
+    return (np.stack(visionX)[order] if visionX else np.zeros((0, 1)),
+            list(np.asarray(visionT)[order]))
+
+
+def make_talknet_asd_scorer(variables, model=None):
+    """Default ASD scorer backed by the TPU TalkNet model."""
+    import jax
+
+    from speaker3d_tpu.models.talknet import TalkNetModel
+
+    model = model or TalkNetModel()
+
+    @jax.jit
+    def run(audio, faces):
+        av, _, _ = model.apply(variables, audio[None], faces[None])
+        return jax.nn.softmax(av, axis=-1)[0, :, 1]
+
+    def scorer(audio_mfcc, face_crops):
+        return np.asarray(run(audio_mfcc.astype(np.float32),
+                              face_crops.astype(np.float32)))
+
+    return scorer

@@ -47,6 +47,25 @@ def model_sharded(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P(*(("model",) + (None,) * (ndim - 1))))
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed for multi-host pods (replaces torchrun
+    process-group init, reference: bin/train.py:34). No-ops on single host /
+    when already initialized; env vars (JAX_COORDINATOR_ADDRESS, ...) are
+    used when arguments are omitted."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (ValueError, RuntimeError):
+        pass  # single-host run without coordinator configuration
+
+
 def process_shard(items, process_index: Optional[int] = None,
                   process_count: Optional[int] = None):
     """Round-robin shard of a host-side work list by process.

@@ -71,6 +71,39 @@ def det_curve_points(scores, labels):
     return fnr_fpr_curve(scores, labels)
 
 
+def plot_det_curve(fnr, fpr, save_path=None):
+    """DET curve on probit axes. (reference: utils/score_metrics.py:118-159)"""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy.stats import norm
+
+    fnr = np.clip(np.asarray(fnr), 1e-6, 1 - 1e-6)
+    fpr = np.clip(np.asarray(fpr), 1e-6, 1 - 1e-6)
+    p_miss = norm.ppf(fnr)
+    p_fa = norm.ppf(fpr)
+    ticks = [1e-4, 2e-4, 5e-4, 1e-3, 2e-3, 5e-3, 0.01, 0.02, 0.05, 0.1,
+             0.2, 0.4]
+    labels = [str(t * 100) for t in ticks]
+    plt.figure()
+    plt.plot(p_fa, p_miss, "r")
+    plt.xticks(norm.ppf(ticks), labels)
+    plt.yticks(norm.ppf(ticks), labels)
+    plt.xlim(norm.ppf([0.00051, 0.5]))
+    plt.ylim(norm.ppf([0.00051, 0.5]))
+    plt.xlabel("false-alarm rate [%]")
+    plt.ylabel("false-reject rate [%]")
+    eer = compute_eer(fnr=fnr, fpr=fpr)
+    plt.plot(norm.ppf(eer), norm.ppf(eer), "o")
+    plt.title(f"DET (EER = {100 * eer:.2f}%)")
+    plt.grid(True)
+    if save_path:
+        plt.savefig(save_path)
+        plt.close()
+    return eer
+
+
 def accuracy(logits, targets, topk=(1,)):
     """Top-k accuracy in percent. (reference: utils/utils.py accuracy)"""
     logits = np.asarray(logits)
