@@ -104,6 +104,7 @@ def main(argv=None):
         increase_start_epoch=config.get("increase_start_epoch", 20),
         margin_fix_epoch=config.get("margin_fix_epoch", 50),
         scale=config.get("scale", 32.0),
+        remat=config.get("remat", False),
     )
 
     fbank = KaldiFbank(FbankConfig(

@@ -59,6 +59,9 @@ class SVTrainConfig(NamedTuple):
     # loss
     scale: float = 32.0
     easy_margin: bool = False
+    # memory: rematerialize the backbone forward in the backward pass
+    # (jax.checkpoint) — trades ~1 extra forward for not storing activations
+    remat: bool = False
 
 
 def _padded_classes(num_classes: int, n_model: int) -> int:
@@ -151,11 +154,17 @@ def make_sv_train_step(model, cfg: SVTrainConfig, mesh: Mesh,
             increase_type=cfg.increase_type)
         offset = jax.lax.axis_index("model") * c_local
 
-        def loss_fn(trainable):
-            bb_params, cls_w = trainable
-            out, mutated = model.apply(
+        def backbone_fwd(bb_params, feats):
+            return model.apply(
                 {"params": bb_params, "batch_stats": state["batch_stats"]},
                 feats, train=True, mutable=["batch_stats"])
+
+        if cfg.remat:
+            backbone_fwd = jax.checkpoint(backbone_fwd)
+
+        def loss_fn(trainable):
+            bb_params, cls_w = trainable
+            out, mutated = backbone_fwd(bb_params, feats)
             emb = out
             cos = _l2norm(emb) @ _l2norm(cls_w).T          # [B, c_local]
             # mask padded class columns so they never win or contribute

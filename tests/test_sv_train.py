@@ -118,6 +118,28 @@ def test_sharded_loss_equals_plain_aam():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_remat_matches_plain():
+    """jax.checkpoint remat must not change the step's numerics."""
+    model = TinyModel()
+    rng = jax.random.PRNGKey(5)
+    batch = _batch(seed=9)
+    mesh = make_mesh(4, 2)
+    state_a = init_sv_train_state(rng, model, batch["feats"][:1], CFG, mesh)
+    host = _get(state_a)
+    state_b = init_sv_train_state(rng, model, batch["feats"][:1], CFG, mesh)
+    step_a = make_sv_train_step(model, CFG, mesh, host)
+    step_b = make_sv_train_step(model, CFG._replace(remat=True), mesh, host)
+    new_a, ma = step_a(state_a, batch)
+    new_b, mb = step_b(state_b, batch)
+    assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-6
+    fa = jax.tree_util.tree_flatten_with_path(_get(new_a))[0]
+    fb = jax.tree_util.tree_flatten_with_path(_get(new_b))[0]
+    for (pa, va), (pb, vb) in zip(sorted(fa, key=lambda kv: str(kv[0])),
+                                  sorted(fb, key=lambda kv: str(kv[0]))):
+        np.testing.assert_allclose(va, vb, atol=1e-6, err_msg=str(pa))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_training_learns():
     model = TinyModel()
     rng = jax.random.PRNGKey(2)
