@@ -1,0 +1,118 @@
+"""TalkNet active-speaker-detection trainer CLI.
+
+Behavioral contract (reference: speakerlab/bin/train_asd.py): train over
+length-sorted AVA mini-batches with loss CE(AV) + 0.4 CE(A) + 0.4 CE(V),
+Adam with per-epoch LR decay, periodic evaluation reporting mAP
+(:178-240); `--test` runs evaluation only.
+
+Usage:
+  python -m speaker3d_tpu.cli.train_asd --train_csv train.csv \
+      --val_csv val.csv --audio_dir ... --video_dir ... --exp_dir exp/asd
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def evaluate(model, variables, val_data, limit=None):
+    import jax
+
+    from speaker3d_tpu.utils.metrics import average_precision
+
+    @jax.jit
+    def forward(audio, visual):
+        av, _, _ = model.apply(variables, audio, visual)
+        return jax.nn.softmax(av, axis=-1)[..., 1]
+
+    scores, labels = [], []
+    n = len(val_data) if limit is None else min(limit, len(val_data))
+    for i in range(n):
+        a, v, y = val_data[i]
+        s = np.asarray(forward(a.astype(np.float32), v.astype(np.float32)))
+        scores.append(s.reshape(-1))
+        labels.append(np.asarray(y).reshape(-1))
+    return average_precision(np.concatenate(labels), np.concatenate(scores))
+
+
+def main(argv=None):
+    import jax
+
+    from speaker3d_tpu.data.dataset_asd import TrainData, ValData
+    from speaker3d_tpu.models.talknet import TalkNetModel
+    from speaker3d_tpu.parallel.mesh import make_mesh
+    from speaker3d_tpu.train.asd_train import (
+        ASDTrainConfig,
+        init_asd_train_state,
+        make_asd_train_step,
+    )
+    from speaker3d_tpu.utils.checkpoint import Checkpointer
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_csv", required=True)
+    p.add_argument("--val_csv", required=True)
+    p.add_argument("--audio_dir", required=True)
+    p.add_argument("--video_dir", required=True)
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=500,
+                   help="frames per mini-batch (length-sorted batching)")
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_decay", type=float, default=0.95)
+    p.add_argument("--test", action="store_true")
+    args = p.parse_args(argv)
+    os.makedirs(args.exp_dir, exist_ok=True)
+
+    model = TalkNetModel()
+    val_data = ValData(args.val_csv, args.audio_dir, args.video_dir)
+    ckpt = Checkpointer(os.path.join(args.exp_dir, "models"))
+
+    if args.test:
+        states = ckpt.recover_if_possible()
+        variables = {"params": states["asd_state"]["params"],
+                     "batch_stats": states["asd_state"]["batch_stats"]}
+        m_ap = evaluate(model, variables, val_data)
+        print(f"mAP: {100 * m_ap:.2f}%")
+        return
+
+    train_data = TrainData(args.train_csv, args.audio_dir, args.video_dir,
+                           args.batch_size)
+    cfg = ASDTrainConfig(lr=args.lr, lr_decay=args.lr_decay,
+                         step_per_epoch=max(len(train_data), 1))
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+
+    a0, v0, _ = train_data[0]
+    state = init_asd_train_state(jax.random.PRNGKey(0), model,
+                                 a0[:1].astype(np.float32),
+                                 v0[:1].astype(np.float32), cfg, mesh)
+    host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    # NOTE: length-sorted batches have VARIABLE shapes; each distinct
+    # (frames,) shape compiles once and is reused (AVA has few lengths).
+    step = make_asd_train_step(model, cfg, mesh, host)
+
+    order = np.arange(len(train_data))
+    for epoch in range(args.epochs):
+        np.random.default_rng(epoch).shuffle(order)
+        t0, losses = time.time(), []
+        for bi in order:
+            a, v, y = train_data[int(bi)]
+            batch = {"audio": a.astype(np.float32),
+                     "visual": v.astype(np.float32),
+                     "labels": y.astype(np.int32)}
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+        variables = {"params": host["params"],
+                     "batch_stats": host["batch_stats"]}
+        m_ap = evaluate(model, variables, val_data, limit=200)
+        print(f"epoch {epoch+1}: loss {np.mean(losses):.4f} "
+              f"val mAP {100*m_ap:.2f}% ({time.time()-t0:.0f}s)", flush=True)
+        ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
+
+
+if __name__ == "__main__":
+    main()
