@@ -105,6 +105,7 @@ def main(argv=None):
         margin_fix_epoch=config.get("margin_fix_epoch", 50),
         scale=config.get("scale", 32.0),
         remat=config.get("remat", False),
+        compute_dtype=config.get("compute_dtype", "float32"),
     )
 
     fbank = KaldiFbank(FbankConfig(

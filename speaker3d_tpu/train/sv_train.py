@@ -62,6 +62,9 @@ class SVTrainConfig(NamedTuple):
     # memory: rematerialize the backbone forward in the backward pass
     # (jax.checkpoint) — trades ~1 extra forward for not storing activations
     remat: bool = False
+    # mixed precision: run the backbone fwd/bwd in bfloat16 (master params,
+    # classifier, loss and optimizer stay float32)
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 def _padded_classes(num_classes: int, n_model: int) -> int:
@@ -154,10 +157,23 @@ def make_sv_train_step(model, cfg: SVTrainConfig, mesh: Mesh,
             increase_type=cfg.increase_type)
         offset = jax.lax.axis_index("model") * c_local
 
+        half = cfg.compute_dtype == "bfloat16"
+
         def backbone_fwd(bb_params, feats):
-            return model.apply(
+            if half:
+                bb_params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, bb_params)
+                feats = feats.astype(jnp.bfloat16)
+            out, mutated = model.apply(
                 {"params": bb_params, "batch_stats": state["batch_stats"]},
                 feats, train=True, mutable=["batch_stats"])
+            if half:
+                out = out.astype(jnp.float32)
+                mutated = {"batch_stats": jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32),
+                    mutated["batch_stats"])}
+            return out, mutated
 
         if cfg.remat:
             backbone_fwd = jax.checkpoint(backbone_fwd)

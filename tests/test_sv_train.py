@@ -140,6 +140,24 @@ def test_remat_matches_plain():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_bf16_compute_learns():
+    """Mixed-precision training runs and learns (looser numerics)."""
+    model = TinyModel()
+    mesh = make_mesh(4, 2)
+    cfg = CFG._replace(compute_dtype="bfloat16")
+    batch = _batch(seed=0)
+    state = init_sv_train_state(jax.random.PRNGKey(3), model,
+                                batch["feats"][:1], cfg, mesh)
+    step = make_sv_train_step(model, cfg, mesh, _get(state))
+    losses = []
+    for i in range(40):
+        state, metrics = step(state, _batch(seed=i % 4))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0] * 0.6, (losses[0], losses[-1])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_training_learns():
     model = TinyModel()
     rng = jax.random.PRNGKey(2)
