@@ -56,3 +56,43 @@ def build_feature_fn(*, sample_rate: int = 16000, num_mel_bins: int = 80,
         FbankConfig(sample_rate=sample_rate, num_mel_bins=num_mel_bins),
         mean_norm=mean_norm)
     return jax.jit(fbank.__call__)
+
+
+def build_sharded_embedding_fn(model, variables, mesh, *,
+                               sample_rate: int = 16000,
+                               num_mel_bins: int = 80, mean_norm: bool = True,
+                               dtype=None,
+                               precision: str | None = "float32") -> Callable:
+    """Data-parallel embedding extraction over the mesh's 'data' axis:
+    params replicated, batch sharded — the multi-chip scaling path for
+    extract/diarization (SURVEY.md §2.6: audio-seconds/s scales with chips;
+    batch size must be divisible by the data-axis size)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fbank = KaldiFbank(
+        FbankConfig(sample_rate=sample_rate, num_mel_bins=num_mel_bins),
+        mean_norm=mean_norm)
+    n_data = mesh.shape["data"]
+    rep = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, jax.tree_util.tree_map(
+        lambda _: rep, variables))
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    @partial(jax.jit, out_shardings=rep)
+    def embed(wavs):
+        feats = fbank(wavs)
+        if dtype is not None:
+            feats = feats.astype(dtype)
+        if precision is not None:
+            with jax.default_matmul_precision(precision):
+                emb = model.apply(variables, feats)
+        else:
+            emb = model.apply(variables, feats)
+        return emb.astype(jnp.float32)
+
+    def run(wavs):
+        assert wavs.shape[0] % n_data == 0, (
+            f"batch {wavs.shape[0]} not divisible by data axis {n_data}")
+        return embed(jax.device_put(jnp.asarray(wavs), batch_sharding))
+
+    return run
