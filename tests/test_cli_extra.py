@@ -119,3 +119,32 @@ def test_predict_label_accuracy(tiny_exp, tmp_path):
     # two tonal classes trained for 3 epochs should be mostly separable
     correct = sum(preds[rid] == lang for rid, _, lang in rows)
     assert correct >= len(rows) // 2
+
+
+def test_run_diarization_on_dir_driver(tiny_exp, tmp_path):
+    """Top-level driver: pattern scan -> per-file JSON + aggregated summary."""
+    import sys
+
+    root, config, rows = tiny_exp
+    out_dir = os.path.join(tmp_path, "diar_out")
+    summary = os.path.join(tmp_path, "summary.json")
+    sys.path.insert(0, "/root/repo")
+    import run_diarization_on_dir as driver
+
+    argv_backup = sys.argv
+    sys.argv = ["run_diarization_on_dir.py",
+                "--src_dir", os.path.join(root, "wav"),
+                "--pattern", "*.wav",
+                "--out_dir", out_dir,
+                "--summary_out", summary,
+                "--exp_dir", config["exp_dir"],
+                "--per_sentence_reindex"]
+    try:
+        rc = driver.main()
+    finally:
+        sys.argv = argv_backup
+    assert rc == 0
+    data = json.load(open(summary))
+    assert len(data) == len(rows)
+    first = next(iter(data.values()))
+    assert "num_speakers" in first and first["segments"]
