@@ -179,7 +179,9 @@ class SSLBatchLoader:
         return (len(self.dataset) // self.process_count) // self.batch_size
 
     def __iter__(self):
+        import queue
         import random as _random
+        import threading
         from concurrent.futures import ThreadPoolExecutor
 
         order = list(range(len(self.dataset)))
@@ -187,10 +189,29 @@ class SSLBatchLoader:
             _random.Random(self.seed + self.epoch).shuffle(order)
         order = order[self.process_index::self.process_count]
         n_batches = len(order) // self.batch_size
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for b in range(n_batches):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = list(pool.map(self.dataset.__getitem__, idxs))
-                glb = np.stack([s["global_wavs"] for s in samples])  # [B,G,L]
-                loc = np.stack([s["local_wavs"] for s in samples])
-                yield {"global_wavs": glb, "local_wavs": loc}
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    glb = np.stack([s["global_wavs"] for s in samples])
+                    loc = np.stack([s["local_wavs"] for s in samples])
+                    q.put({"global_wavs": glb, "local_wavs": loc})
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
