@@ -17,8 +17,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from speaker3d_tpu.eval.scoring import load_embeddings, load_trials, score_trials
 from speaker3d_tpu.utils.metrics import compute_eer, compute_min_dcf, fnr_fpr_curve
 

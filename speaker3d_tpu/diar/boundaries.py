@@ -15,7 +15,7 @@ with per-boundary validation accuracy.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -19,8 +19,6 @@ TPU-first notes
 
 from __future__ import annotations
 
-import math
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -22,12 +22,12 @@ TPU-first notes
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from speaker3d_tpu.models.pooling import POOLING_FUNCS, pooling_output_mult
+from speaker3d_tpu.models.pooling import POOLING_FUNCS
 
 
 def relu20(x):

@@ -8,7 +8,6 @@ for Kaldi parity) + stats pooling + linear embedding.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from speaker3d_tpu.models.pooling import POOLING_FUNCS
 

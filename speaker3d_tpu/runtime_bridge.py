@@ -10,9 +10,6 @@ executable, compiled once at init and reused per batch.
 
 from __future__ import annotations
 
-import struct
-from typing import Optional
-
 import numpy as np
 
 _STATE = {}
@@ -23,10 +20,6 @@ def init(model_spec: str, local_model_dir: str = "pretrained",
     """model_spec: a registry model id OR an exp_dir path. Returns 0 on ok."""
     import jax
 
-    if model_spec.startswith("exp:") or "/" not in model_spec or \
-            model_spec.split("/")[0] not in ("iic",):
-        # experiment-dir path unless it looks like a registry id
-        pass
     if model_spec in _registry_ids():
         from speaker3d_tpu.cli.registry import load_pretrained
 
