@@ -113,6 +113,11 @@ def main(argv=None):
             if pipe.last_vad_masked_audio is not None:
                 write_wav(os.path.join(args.out_dir, f"{base}.vad_masked.wav"),
                           pipe.last_vad_masked_audio, 16000)
+            try:
+                pipe.save_vad_plot(os.path.join(args.out_dir, f"{base}.vad.png"),
+                                   wav_1d=wav[0])
+            except Exception as e:  # plotting is best-effort (fork behavior)
+                print(f"[WARNING] vad plot failed: {e}")
 
 
 if __name__ == "__main__":

@@ -299,6 +299,36 @@ class DiarizationPipeline:
         with open(out_file, "w") as f:
             json.dump(data, f, indent=2)
 
+    def save_vad_plot(self, out_file, wav_1d=None, sample_rate=16000):
+        """3-panel VAD visualization: waveform + raw / processed / refined
+        interval overlays. (reference: bin/infer_diarization.py:799-870
+        _save_vad_waveform_png)"""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        wav = (np.asarray(wav_1d) if wav_1d is not None
+               else (self.last_vad_masked_audio[0]
+                     if self.last_vad_masked_audio is not None else None))
+        if wav is None:
+            raise ValueError("no waveform available for plotting")
+        t = np.arange(len(wav)) / sample_rate
+        panels = [("raw VAD", self.last_vad_time_raw),
+                  ("post-processed", self.last_vad_time_processed),
+                  ("refined", self.last_vad_time)]
+        fig, axes = plt.subplots(3, 1, figsize=(14, 7), sharex=True)
+        for ax, (title, intervals) in zip(axes, panels):
+            ax.plot(t, wav, linewidth=0.3, color="#444")
+            for st, ed in (intervals or []):
+                ax.axvspan(st, ed, color="tab:green", alpha=0.3)
+            ax.set_title(title, fontsize=9)
+            ax.set_ylabel("amp")
+        axes[-1].set_xlabel("time [s]")
+        fig.tight_layout()
+        fig.savefig(out_file, dpi=100)
+        plt.close(fig)
+
     def save_vad_info(self, out_file):
         """(reference: bin/infer_diarization.py .vad_info.json sidecar)"""
         data = {

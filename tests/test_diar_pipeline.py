@@ -131,3 +131,13 @@ def test_pipeline_oracle_speaker_num():
         cluster=CommonClustering("spectral", cluster_line=4, mer_cos=0.8))
     fields = pipe(wav, speaker_num=2)
     assert len({f[2] for f in fields}) == 2
+
+
+def test_vad_plot(tmp_path):
+    wav, truth, fs = _two_speaker_wav()
+    pipe = DiarizationPipeline(_mean_fbank_embed(), sample_rate=fs,
+                               batch_size=8)
+    pipe(wav)
+    out = os.path.join(tmp_path, "v.png")
+    pipe.save_vad_plot(out, wav_1d=wav)
+    assert os.path.getsize(out) > 1000
