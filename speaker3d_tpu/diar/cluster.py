@@ -32,23 +32,70 @@ def cosine_affinity(x, y=None):
 
 
 class SpectralCluster:
-    """(reference: process/cluster.py:23-112)"""
+    """(reference: process/cluster.py:23-112)
+
+    ``backend='jax'`` runs the O(N^2) affinity, p-pruning, Laplacian and the
+    eigendecomposition on device (N ~ 1e4 diarization chunks: dense eigh on
+    the accelerator instead of host eigsh); the eigengap count selection and
+    k-means stay on host. Label-equivalent to the numpy backend up to
+    p-pruning tie order and k-means init.
+    """
 
     def __init__(self, min_num_spks=1, max_num_spks=10, pval=0.02, min_pnum=6,
-                 oracle_num=None):
+                 oracle_num=None, backend: str = "numpy"):
         self.min_num_spks = min_num_spks
         self.max_num_spks = max_num_spks
         self.min_pnum = min_pnum
         self.pval = pval
         self.k = oracle_num
+        self.backend = backend
 
     def __call__(self, X, pval=None, speaker_num=None, **kwargs):
+        if self.backend == "jax":
+            lambdas, vecs = self._device_spectral(X, pval)
+            k_oracle = speaker_num if speaker_num is not None else self.k
+            if k_oracle is not None:
+                num_spk = k_oracle
+            else:
+                gaps = np.diff(
+                    lambdas[self.min_num_spks - 1:self.max_num_spks + 1])
+                num_spk = int(np.argmax(gaps)) + self.min_num_spks
+            return self.kmeans(vecs[:, :num_spk], num_spk)
         sim = cosine_affinity(X)
         sim = self.p_pruning(sim, pval)
         sim = 0.5 * (sim + sim.T)
         lap = self.laplacian(sim)
         emb, num_spk = self.spectral_embeddings(lap, speaker_num)
         return self.kmeans(emb, num_spk)
+
+    def _device_spectral(self, X, pval=None):
+        """Affinity -> p-prune -> Laplacian -> eigh, all on device."""
+        import jax
+        import jax.numpy as jnp
+
+        if pval is None:
+            pval = self.pval
+        n = X.shape[0]
+        n_zero = min(int((1 - pval) * n), n - self.min_pnum)
+
+        @jax.jit
+        def run(x):
+            xn = x / jnp.maximum(
+                jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sim = jnp.matmul(xn, xn.T, precision=jax.lax.Precision.HIGHEST)
+            if n_zero > 0:
+                # per-row threshold at the n_zero-th smallest value
+                thr = jnp.sort(sim, axis=1)[:, n_zero][:, None]
+                sim = jnp.where(sim >= thr, sim, 0.0)
+            sim = 0.5 * (sim + sim.T)
+            sim = sim - jnp.diag(jnp.diag(sim))
+            lap = jnp.diag(jnp.sum(jnp.abs(sim), axis=1)) - sim
+            lambdas, vecs = jnp.linalg.eigh(lap)
+            return lambdas, vecs
+
+        lambdas, vecs = run(jnp.asarray(X, jnp.float32))
+        k = min(self.max_num_spks + 1, n)
+        return np.asarray(lambdas)[:k], np.asarray(vecs)
 
     def p_pruning(self, A, pval=None):
         """Zero the lowest (1-p) fraction of each row (keeping >= min_pnum)."""

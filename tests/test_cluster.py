@@ -95,3 +95,17 @@ def test_arrange_labels():
 
 def test_merge_consecutive():
     assert merge_consecutive([[0, 1], [0.5, 2], [3, 4]]) == [[0, 2], [3, 4]]
+
+
+def test_spectral_jax_backend_matches_numpy():
+    x, y = _blobs(sizes=(40, 40, 40), seed=5)
+    lab_np = SpectralCluster(pval=0.05)(x)
+    lab_jax = SpectralCluster(pval=0.05, backend="jax")(x)
+    assert _purity(lab_np, y) == 1.0
+    assert _purity(lab_jax, y) == 1.0
+    assert len(np.unique(lab_jax)) == 3
+    # same partition (labels may permute)
+    remap = {}
+    for a, b in zip(lab_jax, lab_np):
+        remap.setdefault(a, b)
+        assert remap[a] == b
