@@ -82,11 +82,25 @@ def try_ten_vad(sample_rate=16000, frame_ms=16.0, threshold=0.5):
     return vad
 
 
+def _runs(x):
+    """Run-length encode a 0/1 array -> (starts, lengths, values)."""
+    change = np.flatnonzero(np.diff(x)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(x)]))
+    return starts, ends - starts, x[starts]
+
+
 def post_process_speech_flags(flags, frame_ms: float = 16.0,
                               min_speech_ms: float = 200.0,
                               max_silence_ms: float = 300.0):
     """Smooth + fill short gaps + drop short speech.
-    (reference: bin/infer_diarization.py:347-384)"""
+
+    Vectorized run-length implementation of the reference's sequential scans
+    (reference: bin/infer_diarization.py:347-384). Semantics preserved
+    exactly: a gap/segment is only rewritten when a frame of the *other*
+    class follows it, so trailing runs are never modified, while leading
+    runs are.
+    """
     flags = np.asarray(flags, dtype=np.float32)
     if flags.size == 0:
         return flags
@@ -99,40 +113,38 @@ def post_process_speech_flags(flags, frame_ms: float = 16.0,
     max_silence = max(1, int(max_silence_ms / frame_ms))
 
     res = smooth.copy()
-    count0 = 0
-    for i in range(len(res)):
-        if res[i] == 0:
-            count0 += 1
-        else:
-            if 0 < count0 <= max_silence:
-                res[i - count0:i] = 1
-            count0 = 0
-    count1 = 0
-    for i in range(len(res)):
-        if res[i] == 1:
-            count1 += 1
-        else:
-            if 0 < count1 < min_speech:
-                res[i - count1:i] = 0
-            count1 = 0
+    # fill silence gaps <= max_silence that are followed by speech
+    starts, lengths, values = _runs(res)
+    for k in np.flatnonzero((values == 0) & (lengths <= max_silence)):
+        if k < len(values) - 1:  # a speech frame follows
+            res[starts[k]:starts[k] + lengths[k]] = 1
+    # drop speech runs < min_speech that are followed by silence
+    starts, lengths, values = _runs(res)
+    for k in np.flatnonzero((values == 1) & (lengths < min_speech)):
+        if k < len(values) - 1:
+            res[starts[k]:starts[k] + lengths[k]] = 0
     return res
 
 
 def flags_to_mask(flags, num_samples: int, hop_size: int):
     """Frame flags -> per-sample {0,1} mask."""
     mask = np.zeros(num_samples, dtype=np.float32)
-    for i, flag in enumerate(np.asarray(flags)):
-        s = i * hop_size
-        e = min((i + 1) * hop_size, num_samples)
-        if s >= num_samples:
-            break
-        mask[s:e] = flag
+    rep = np.repeat(np.asarray(flags, dtype=np.float32), hop_size)
+    k = min(rep.shape[0], num_samples)
+    mask[:k] = rep[:k]
     return mask
 
 
 def frame_energy_envelope(audio, sample_rate: int):
     """Overlap-max 20 ms / 10 ms frame energy per sample.
-    (reference: bin/infer_diarization.py:391-401)"""
+
+    (reference: bin/infer_diarization.py:391-401) The reference writes each
+    frame's running max over its whole window, each frame overwriting the
+    previous frame's overlap, so with window >= hop the final value at sample
+    j is cummax(frame_energy)[last frame covering j] — computed here in
+    closed vectorized form (the sequential loop was the diarization host-side
+    bottleneck on hour-scale files).
+    """
     window = int(0.02 * sample_rate)
     hop = int(0.01 * sample_rate)
     n = len(audio)
@@ -140,15 +152,27 @@ def frame_energy_envelope(audio, sample_rate: int):
     env = np.zeros(n, dtype=np.float32)
     if n_frames <= 0:
         return env
-    sq = np.square(audio.astype(np.float64))
-    csum = np.concatenate([[0.0], np.cumsum(sq)])
-    for i in range(n_frames):
-        s = i * hop
-        e = min(s + window, n)
-        en = (csum[e] - csum[s]) / (e - s)
-        seg = env[s:e]
-        m = max(seg.max() if seg.size else 0.0, en)
-        env[s:e] = m
+    # Per-frame mean energy. Every frame is full-width: n_frames was chosen
+    # so starts[-1] + window <= n. A strided window view + row sums stays
+    # vectorized (np.cumsum is a scalar loop in this numpy build and costs
+    # seconds per 10 min of audio).
+    sq = np.square(np.asarray(audio, dtype=np.float32))
+    frames = np.lib.stride_tricks.sliding_window_view(sq, window)[::hop]
+    en = frames.sum(axis=1, dtype=np.float64) / window
+    starts = np.arange(n_frames) * hop
+    ends = starts + window
+    if window >= hop:
+        # env is piecewise-constant per hop block: block i (< n_frames) holds
+        # cummax(en)[i]; samples in [n_frames*hop, ends[-1]) hold the global
+        # max; samples past the last frame's end stay 0.
+        m = np.maximum.accumulate(en).astype(np.float32)
+        head = np.repeat(m, hop)
+        k = min(head.shape[0], n)
+        env[:k] = head[:k]
+        env[k:int(ends[-1])] = m[-1]
+    else:  # disjoint frames (never the 20/10 ms case): direct writes
+        for i in range(n_frames):
+            env[starts[i]:ends[i]] = en[i]
     return env
 
 

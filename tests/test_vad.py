@@ -93,3 +93,98 @@ def test_energy_refinement_contract():
                                                  energy_threshold=0.001)
     ivs2 = mask_to_intervals(refined2, fs)
     assert abs(ivs2[0][0] - 0.1) < 0.01
+
+
+def _post_process_loop(flags, frame_ms=16.0, min_speech_ms=200.0,
+                       max_silence_ms=300.0):
+    """Reference sequential-scan semantics (bin/infer_diarization.py:347-384);
+    oracle for the vectorized implementation."""
+    flags = np.asarray(flags, dtype=np.float32)
+    if flags.size == 0:
+        return flags
+    win = 3
+    pad = np.pad(flags, (win // 2, win // 2), mode="edge")
+    smooth = (np.convolve(pad, np.ones(win) / win, mode="valid") > 0.5).astype(
+        np.float32)
+    min_speech = max(1, int(min_speech_ms / frame_ms))
+    max_silence = max(1, int(max_silence_ms / frame_ms))
+    res = smooth.copy()
+    count0 = 0
+    for i in range(len(res)):
+        if res[i] == 0:
+            count0 += 1
+        else:
+            if 0 < count0 <= max_silence:
+                res[i - count0:i] = 1
+            count0 = 0
+    count1 = 0
+    for i in range(len(res)):
+        if res[i] == 1:
+            count1 += 1
+        else:
+            if 0 < count1 < min_speech:
+                res[i - count1:i] = 0
+            count1 = 0
+    return res
+
+
+def _envelope_loop(audio, sample_rate):
+    """Reference overlap-max accumulation (bin/infer_diarization.py:391-401)."""
+    window = int(0.02 * sample_rate)
+    hop = int(0.01 * sample_rate)
+    n = len(audio)
+    n_frames = (n - window) // hop + 1
+    env = np.zeros(n, dtype=np.float32)
+    if n_frames <= 0:
+        return env
+    sq = np.square(audio.astype(np.float64))
+    csum = np.concatenate([[0.0], np.cumsum(sq)])
+    for i in range(n_frames):
+        s = i * hop
+        e = min(s + window, n)
+        en = (csum[e] - csum[s]) / (e - s)
+        seg = env[s:e]
+        m = max(seg.max() if seg.size else 0.0, en)
+        env[s:e] = m
+    return env
+
+
+def test_post_process_matches_sequential_oracle_fuzz():
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        n = int(rng.integers(1, 400))
+        # biased runs so fills/drops actually trigger
+        flags = (rng.random(n) < rng.random()).astype(np.float32)
+        got = post_process_speech_flags(flags)
+        want = _post_process_loop(flags)
+        assert np.array_equal(got, want), f"trial {trial}"
+
+
+def test_envelope_matches_sequential_oracle_fuzz():
+    from speaker3d_tpu.diar.vad import frame_energy_envelope
+    rng = np.random.default_rng(7)
+    for fs in (16000, 8000, 11025):
+        for dur in (0.009, 0.05, 0.5, 1.37):
+            n = int(fs * dur)
+            wav = (rng.standard_normal(n) * (rng.random(n) > 0.7)).astype(
+                np.float32)
+            got = frame_energy_envelope(wav, fs)
+            want = _envelope_loop(wav, fs)
+            assert np.allclose(got, want, atol=1e-6), (fs, dur)
+
+
+def test_flags_to_mask_matches_loop_oracle():
+    rng = np.random.default_rng(3)
+    for n_flags, hop, num_samples in [(5, 256, 1280), (5, 256, 1000),
+                                      (5, 256, 2000), (0, 256, 100),
+                                      (7, 160, 1120)]:
+        flags = rng.integers(0, 2, n_flags)
+        got = flags_to_mask(flags, num_samples, hop)
+        want = np.zeros(num_samples, dtype=np.float32)
+        for i, flag in enumerate(flags):
+            s = i * hop
+            e = min((i + 1) * hop, num_samples)
+            if s >= num_samples:
+                break
+            want[s:e] = flag
+        assert np.array_equal(got, want)
