@@ -34,6 +34,9 @@ def get_args(argv=None):
     p.add_argument("--out_type", choices=["rttm", "json"], default="rttm")
     p.add_argument("--speaker_num", type=int, default=None)
     p.add_argument("--vad_threshold", type=float, default=0.5)
+    p.add_argument("--vad_exp_dir", default=None,
+                   help="use a trained DFSMN VAD experiment "
+                        "(cli/train_vad.py) instead of TenVad/EnergyVAD")
     p.add_argument("--cluster_mer_cos", type=float, default=0.3)
     p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
     p.add_argument("--cluster_min_cluster_size", type=int, default=0)
@@ -82,8 +85,14 @@ def main(argv=None):
         model, variables = load_pretrained(args.model_id, args.local_model_dir)
 
     embed_fn = build_embedding_fn(model, variables, precision="high")
+    vad = None
+    if args.vad_exp_dir:
+        from speaker3d_tpu.diar.dnn_vad import load_vad_exp
+
+        vad = load_vad_exp(args.vad_exp_dir, threshold=args.vad_threshold)
     pipe = DiarizationPipeline(
         embed_fn,
+        vad=vad,
         vad_threshold=args.vad_threshold,
         cluster_mer_cos=args.cluster_mer_cos,
         cluster_fix_cos_thr=args.cluster_fix_cos_thr,

@@ -97,16 +97,22 @@ class BatchLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    wavs = np.stack([s[0] for s in samples])
-                    labels = np.asarray([s[1] for s in samples], np.int32)
-                    q.put({"wavs": wavs, "labels": labels})
-            q.put(None)
+            # Always terminate the queue: a worker exception must surface in
+            # the consumer, not deadlock it on q.get().
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        wavs = np.stack([s[0] for s in samples])
+                        labels = np.asarray([s[1] for s in samples], np.int32)
+                        q.put({"wavs": wavs, "labels": labels})
+            except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+                q.put(exc)
+            else:
+                q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -115,6 +121,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -120,7 +120,9 @@ class DiarizationPipeline:
         self.batch_size = batch_size
         self.segmentation_model = segmentation_model
 
-        self.vad_frame_size_ms = 16.0
+        # TenVad/EnergyVAD emit 16 ms-hop flags; a DnnVAD advertises its
+        # native fbank hop via `.frame_ms` (diar/dnn_vad.py)
+        self.vad_frame_size_ms = float(getattr(self.vad_model, "frame_ms", 16.0))
         self.vad_min_speech_ms = vad_min_speech_ms
         self.vad_max_silence_ms = vad_max_silence_ms
         self.vad_energy_threshold = vad_energy_threshold
