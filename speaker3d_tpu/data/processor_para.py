@@ -63,3 +63,25 @@ def load_cmvn(cmvn_file: str) -> np.ndarray:
                 vars_list = nxt[3:len(nxt) - 1]
     return np.stack([np.array(means_list, np.float32),
                      np.array(vars_list, np.float32)])
+
+
+def apply_lfr_device(x, lfr_m: int, lfr_n: int):
+    """Batched on-device LFR: [B, T, D] -> [B, ceil(T/lfr_n), lfr_m*D].
+
+    Same semantics as apply_lfr (left-pad by repeating the first frame,
+    tail-pad by repeating the last), built from strided slices + concat —
+    gather-free so XLA tiles it cheaply (see ops/fbank.py framing notes).
+    Runs inside the jitted train step right after the fbank frontend.
+    """
+    import jax.numpy as jnp
+
+    b, t, d = x.shape
+    t_lfr = -(-t // lfr_n)
+    left = (lfr_m - 1) // 2
+    x = jnp.concatenate([jnp.repeat(x[:, :1], left, axis=1), x], axis=1)
+    need = (t_lfr - 1) * lfr_n + lfr_m
+    if need > x.shape[1]:
+        x = jnp.concatenate(
+            [x, jnp.repeat(x[:, -1:], need - x.shape[1], axis=1)], axis=1)
+    taps = [x[:, i:i + (t_lfr - 1) * lfr_n + 1:lfr_n] for i in range(lfr_m)]
+    return jnp.concatenate(taps, axis=-1)

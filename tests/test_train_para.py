@@ -1,0 +1,104 @@
+"""train_para: native SAN-M encoder + frozen-frontend SV training
+(reference: speakerlab/bin/train_para.py — there the encoder is an external
+funasr asset; here it is models/sanm.py)."""
+
+import os
+
+import numpy as np
+import yaml
+
+FS = 16000
+
+
+def test_lfr_device_matches_host():
+    from speaker3d_tpu.data.processor_para import apply_lfr, apply_lfr_device
+
+    rng = np.random.default_rng(0)
+    for t, m, n in [(298, 7, 6), (97, 7, 6), (10, 5, 1), (13, 3, 3)]:
+        x = rng.standard_normal((t, 8)).astype(np.float32)
+        want = apply_lfr(x, m, n)
+        got = np.asarray(apply_lfr_device(x[None], m, n))[0]
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-6)
+
+
+def test_sanm_encoder_shapes_and_jit():
+    import jax
+
+    from speaker3d_tpu.models.sanm import SANMEncoder
+
+    enc = SANMEncoder(input_dim=40, d_model=32, num_heads=2, ffn_dim=64,
+                      num_layers=2, kernel_size=5)
+    x = np.random.default_rng(1).standard_normal((2, 17, 40)).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda v, x: enc.apply(v, x))(variables, x)
+    assert out.shape == (2, 17, 32)
+    # memory branch is local: distant-frame perturbation beyond the FIR
+    # kernel still flows through attention, so outputs must differ
+    x2 = x.copy()
+    x2[:, 0] += 1.0
+    out2 = enc.apply(variables, x2)
+    assert not np.allclose(out[:, 16], out2[:, 16], atol=1e-6)
+
+
+def test_train_para_e2e(tmp_path):
+    """Tiny end-to-end run: frozen SAN-M features -> Xvector -> AAM learns."""
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "wav"), exist_ok=True)
+    rows = []
+    for s in range(2):
+        for u in range(4):
+            wav = (0.3 * np.sin(2 * np.pi * (250 + 900 * s)
+                                * np.arange(FS) / FS)
+                   + 0.01 * rng.standard_normal(FS)).astype(np.float32)
+            p = os.path.join(root, "wav", f"s{s}u{u}.wav")
+            write_wav(p, wav, FS)
+            rows.append((f"s{s}u{u}", p, f"spk{s}"))
+    with open(os.path.join(root, "train.csv"), "w") as f:
+        f.write("ID,wav,spk\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+
+    config = {
+        "exp_dir": os.path.join(root, "exp"),
+        "data": os.path.join(root, "train.csv"),
+        # wav_len must give enough LFR frames for the Xvector receptive
+        # field (15): 1.0 s -> 98 fbank frames -> 17 LFR frames
+        "wav_len": 1.0, "speed_pertub": False, "aug_prob": 0.0,
+        "batch_size": 4, "num_workers": 2, "num_epoch": 12,
+        "embedding_size": 16, "max_lr": 0.05, "min_lr": 0.005,
+        "warmup_epoch": 1, "log_batch_freq": 1,
+        "lfr_m": 7, "lfr_n": 6, "fbank_dim": 80,
+        "asr_encoder": {"args": {"d_model": 32, "num_heads": 2,
+                                 "ffn_dim": 64, "num_layers": 2,
+                                 "kernel_size": 5}},
+        "model": {"obj": "speaker3d_tpu.models.xvector.Xvector",
+                  "args": {"hid_dim": 16, "stats_dim": 32, "embed_dim": 16}},
+    }
+    cfg_path = os.path.join(root, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from speaker3d_tpu.cli.train_para import main as train_main
+
+    train_main(["--config", cfg_path])
+    exp_dir = config["exp_dir"]
+    log = open(os.path.join(exp_dir, "train_epoch.log")).read().strip()
+    lines = log.splitlines()
+
+    def field(line, key):
+        return float(line.split(f"{key}:")[1].split(" - ")[0].strip())
+
+    first_loss = field(lines[0], "avg_loss")
+    last_loss = field(lines[-1], "avg_loss")
+    last_acc = field(lines[-1], "avg_acc")
+    assert np.isfinite(last_loss), log
+    # AAM loss collapses by >5x on the 2-speaker toy corpus; the train-acc
+    # approximation (target-vs-global-max cosine) is noisy at this scale so
+    # only require better-than-chance
+    assert last_loss < first_loss / 5, log
+    assert last_acc >= 0.5, log
+    assert os.path.isdir(os.path.join(exp_dir, "models", "CKPT-EPOCH-12-00"))
