@@ -26,13 +26,20 @@ def save_embeddings(path: str, embeddings: Dict[str, np.ndarray]) -> None:
 
 
 def load_embeddings(path_or_dir: str) -> Dict[str, np.ndarray]:
-    """Load one .npz or every *.npz in a directory."""
+    """Load one .npz, every *.npz in a directory, or a directory of
+    per-utterance <utt>.npy files (the reference fork's infer_sv format)."""
     paths = []
     if os.path.isdir(path_or_dir):
-        paths = [os.path.join(path_or_dir, p) for p in sorted(os.listdir(path_or_dir))
+        entries = sorted(os.listdir(path_or_dir))
+        paths = [os.path.join(path_or_dir, p) for p in entries
                  if re.search(r"\.npz$", p)]
         if not paths:
-            raise FileNotFoundError(f"no .npz embedding files in {path_or_dir}")
+            npys = [p for p in entries if p.endswith(".npy")]
+            if npys:
+                return {p[:-4]: np.load(os.path.join(path_or_dir, p))
+                        for p in npys}
+            raise FileNotFoundError(
+                f"no .npz/.npy embedding files in {path_or_dir}")
     else:
         paths = [path_or_dir]
     out: Dict[str, np.ndarray] = {}

@@ -148,3 +148,42 @@ def test_run_diarization_on_dir_driver(tiny_exp, tmp_path):
     assert len(data) == len(rows)
     first = next(iter(data.values()))
     assert "num_speakers" in first and first["segments"]
+
+
+def test_analyze_similarity(tmp_path):
+    """Similarity analysis CLI (reference fork: egs/mix_adult_kid
+    compute_utterance_similarities_analysis.py semantics)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    emb_dir = os.path.join(tmp_path, "emb")
+    os.makedirs(emb_dir)
+    # two datasets x two speakers; spk a_1 and b_1 share a direction
+    base = rng.standard_normal((3, 32)).astype(np.float32)
+    spk_vec = {"a_1": base[0], "a_2": base[1],
+               "b_1": base[0] + 0.1 * base[2], "b_2": -base[1]}
+    utt2spk_lines = []
+    for spk, v in spk_vec.items():
+        for u in range(3):
+            utt = f"{spk}_utt{u}"
+            e = v + 0.05 * rng.standard_normal(32)
+            np.save(os.path.join(emb_dir, utt + ".npy"), e.astype(np.float32))
+            utt2spk_lines.append(f"{utt} {spk}")
+    u2s = os.path.join(tmp_path, "utt2spk")
+    open(u2s, "w").write("\n".join(utt2spk_lines) + "\n")
+
+    from speaker3d_tpu.cli.analyze_similarity import main
+
+    out = os.path.join(tmp_path, "sim")
+    rc = main(["--emb", emb_dir, "--out_dir", out, "--utt2spk", u2s,
+               "--prefix_as", "1", "--min_similarity", "0.5"])
+    assert rc == 0
+    rep = json.load(open(os.path.join(out, "speaker_similarity.json")))
+    assert rep["num_entities"] == 4 and rep["num_utterances"] == 12
+    pairs = {(p["a"], p["b"]): p for p in rep["high_similarity_pairs"]}
+    assert ("a_1", "b_1") in pairs
+    assert pairs[("a_1", "b_1")]["cross_dataset"] is True
+    assert rep["num_pairs_above_threshold"] == 1
+    mat = np.load(os.path.join(out, "similarity_matrix.npy"))
+    assert mat.shape == (4, 4)
+    assert os.path.isfile(os.path.join(out, "similarity_analysis.csv"))
