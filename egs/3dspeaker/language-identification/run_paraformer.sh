@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Paraformer-fused language identification (reference: egs/3dspeaker/
+# language-identification/run_paraformer.sh): the SV model trains on a
+# FROZEN ASR-encoder's features instead of raw fbank. The reference
+# downloads a funasr Paraformer; here the native SAN-M encoder
+# (speaker3d_tpu/models/sanm.py) is used — point encoder_ckpt at a
+# converted checkpoint to reproduce funasr features exactly.
+set -euo pipefail
+cd "$(dirname "$0")"; REPO_ROOT=$(cd ../../.. && pwd); export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+exp_dir=exp/eres2net_para
+# data/train.csv must have spk column = language label
+python -m speaker3d_tpu.cli.train_para \
+  --config "$REPO_ROOT/configs/eres2net_para.yaml" \
+  --data=data/train.csv --exp_dir=$exp_dir --speed_pertub=false
+python -m speaker3d_tpu.cli.predict_label --exp_dir $exp_dir \
+  --data data/eval_wav.scp --utt2label data/utt2lang \
+  --out $exp_dir/predictions.txt
