@@ -1,0 +1,74 @@
+"""Speaker-attributed transcripts from diarization RTTM + ASR word output.
+
+Behavioral contract (reference: egs/3dspeaker/speaker-diarization/local/
+out_transcription.py): per recording, read the RTTM and the ASR result
+(punctuated text + word timestamps), attribute each word to a speaker and
+write '<spk>: [st ed] text' lines. The reference embeds a modelscope
+Paraformer download; here the ASR result arrives as a JSON file per
+recording (any engine works):
+
+    {"text": "...", "raw_text": "w1 w2 ...", "timestamp": [[st, ed], ...]}
+
+Usage:
+  python -m speaker3d_tpu.cli.transcribe_diarization \
+      --rttm_dir exp/rttm --asr_dir exp/asr_json --out_dir exp/transcripts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from speaker3d_tpu.parallel.mesh import process_shard
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Speaker-attributed transcripts")
+    p.add_argument("--rttm_dir", required=True)
+    p.add_argument("--asr_dir", required=True,
+                   help="<rec_id>.json ASR results (text/raw_text/timestamp)")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--merge_gap_s", type=float, default=2.0)
+    return p.parse_args(argv)
+
+
+def load_rttm_fields(path):
+    fields = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 8 and parts[0] == "SPEAKER":
+                st = float(parts[3])
+                fields.append([st, st + float(parts[4]), parts[7]])
+    return fields
+
+
+def main(argv=None):
+    from speaker3d_tpu.diar.transcribe import attribute_transcript
+
+    args = get_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    rec_ids = sorted(os.path.splitext(p)[0]
+                     for p in os.listdir(args.rttm_dir) if p.endswith(".rttm"))
+    for rec_id in process_shard(rec_ids):
+        asr_path = os.path.join(args.asr_dir, rec_id + ".json")
+        if not os.path.isfile(asr_path):
+            print(f"[WARNING] no ASR json for {rec_id}, skipped")
+            continue
+        with open(asr_path) as f:
+            asr = json.load(f)
+        fields = load_rttm_fields(os.path.join(args.rttm_dir,
+                                               rec_id + ".rttm"))
+        utts = attribute_transcript(asr, fields, args.merge_gap_s)
+        out = os.path.join(args.out_dir, rec_id + ".txt")
+        with open(out, "w") as f:
+            for text, (st, ed), spk in utts:
+                f.write(f"{spk}: [{st:.3f} {ed:.3f}] {text}\n")
+        print(f"{rec_id}: {len(utts)} attributed utterances -> {out}",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
