@@ -83,11 +83,15 @@ def main(argv=None):
 
     dataset_of = {}
     if args.dataset_map:
+        spk_dataset = {}
         with open(args.dataset_map) as f:
             for line in f:
                 parts = line.split()
                 if len(parts) >= 2:
-                    dataset_of[parts[0]] = parts[1]
+                    spk_dataset[parts[0]] = parts[1]
+        for k in keys:  # the map is keyed by speaker; at utt level route
+            dataset_of[k] = spk_dataset.get(utt2spk.get(k, k))
+        dataset_of = {k: v for k, v in dataset_of.items() if v is not None}
     elif args.prefix_as > 0:
         for k in keys:
             dataset_of[k] = "_".join(k.split("_")[: args.prefix_as])
@@ -97,16 +101,22 @@ def main(argv=None):
     vals = sim[iu, ju]
     order = np.argsort(-vals)
     high = []
-    cross, within = 0, 0
+    cross, within, unknown = 0, 0, 0
     for idx in order:
         v = float(vals[idx])
         if v < args.min_similarity:
             break
         a, b = keys[int(iu[idx])], keys[int(ju[idx])]
         da, db = dataset_of.get(a), dataset_of.get(b)
-        is_cross = (da is not None and db is not None and da != db)
-        cross += int(is_cross)
-        within += int(not is_cross and da is not None)
+        if da is None or db is None:
+            is_cross = False
+            unknown += 1
+        elif da != db:
+            is_cross = True
+            cross += 1
+        else:
+            is_cross = False
+            within += 1
         if len(high) < args.max_results:
             high.append({"a": a, "b": b, "similarity": v,
                          "dataset_a": da, "dataset_b": db,
@@ -121,6 +131,7 @@ def main(argv=None):
         "num_pairs_above_threshold": above,
         "num_cross_dataset_pairs": cross,
         "num_within_dataset_pairs": within,
+        "num_unknown_dataset_pairs": unknown,
         "similarity_stats": {
             "mean": float(vals.mean()) if vals.size else None,
             "p95": float(np.percentile(vals, 95)) if vals.size else None,

@@ -68,7 +68,12 @@ def extract_audio(video: str, fs: int = 16000) -> str:
 
 
 def read_frames(video: str, fps: float):
-    """Grayscale frames sampled at ``fps`` + their timestamps."""
+    """Stream (source_frame_idx, time_s, grayscale frame) sampled at ~fps.
+
+    A generator so hour-scale videos never materialize all frames; only
+    tracked face crops persist (reference vision_processer streams per
+    scene for the same reason).
+    """
     import cv2
 
     cap = cv2.VideoCapture(video)
@@ -76,30 +81,31 @@ def read_frames(video: str, fps: float):
         raise RuntimeError(f"cv2 cannot open {video}")
     src_fps = cap.get(cv2.CAP_PROP_FPS) or fps
     step = max(1, int(round(src_fps / fps)))
-    frames, times = [], []
     idx = 0
-    while True:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        if idx % step == 0:
-            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-            frames.append(gray)
-            times.append(idx / src_fps)
-        idx += 1
-    cap.release()
-    return frames, times
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if idx % step == 0:
+                yield idx, idx / src_fps, cv2.cvtColor(frame,
+                                                       cv2.COLOR_BGR2GRAY)
+            idx += 1
+    finally:
+        cap.release()
 
 
-def build_face_detector(args):
+def build_face_detector(args, src_idx_iter=None):
+    """``src_idx_iter`` yields the SOURCE frame index of each sampled frame
+    (in lockstep with the tracking loop) so precomputed --face_boxes_json
+    tables keyed by source index stay correct when frames are decimated."""
     if args.face_boxes_json:
         with open(args.face_boxes_json) as f:
             table = {int(k): v for k, v in json.load(f).items()}
-        counter = {"i": -1}
 
         def detector(frame):
-            counter["i"] += 1
-            return [tuple(b) for b in table.get(counter["i"], [])]
+            idx = next(src_idx_iter)
+            return [tuple(b) for b in table.get(idx, [])]
 
         return detector
     if args.yunet_onnx:
@@ -206,17 +212,49 @@ def main(argv=None):
     from speaker3d_tpu.utils.fileio import load_audio
 
     fs = 16000
-    wav_path = args.wav or extract_audio(args.video, fs)
-    wav_1d = np.asarray(load_audio(wav_path, obj_fs=fs))[0]
+    tmp_wav = None
+    if not args.wav:
+        tmp_wav = extract_audio(args.video, fs)
+    wav_path = args.wav or tmp_wav
+    try:
+        wav_1d = np.asarray(load_audio(wav_path, obj_fs=fs))[0]
+    finally:
+        if tmp_wav:
+            os.unlink(tmp_wav)
 
-    # vision chain
-    frames, frame_times = read_frames(args.video, args.fps)
-    detector = build_face_detector(args)
-    tracks = build_face_tracks(frames, frame_times, detector)
+    # vision chain — streamed: the three tee'd iterators advance in
+    # lockstep (frame, time pulled by the tracking zip; source index pulled
+    # by the detector), so memory stays bounded by live face crops.
+    import itertools
+
+    stream = read_frames(args.video, args.fps)
+    if args.face_boxes_json:  # detector consumes indices in lockstep
+        s_frames, s_times, s_idx = itertools.tee(stream, 3)
+        src_idx_iter = (i for i, _, _ in s_idx)
+    else:  # a lagging tee branch would buffer every frame
+        s_frames, s_times = itertools.tee(stream, 2)
+        src_idx_iter = None
+    frames = (g for _, _, g in s_frames)
+    frame_times_it = (t for _, t, _ in s_times)
+    spacing = {"first": None, "second": None}
+
+    def times_with_spacing():
+        for t in frame_times_it:
+            if spacing["first"] is None:
+                spacing["first"] = t
+            elif spacing["second"] is None:
+                spacing["second"] = t
+            yield t
+
+    detector = build_face_detector(args, src_idx_iter=src_idx_iter)
+    tracks = build_face_tracks(frames, times_with_spacing(), detector)
+    frame_spacing = ((spacing["second"] - spacing["first"])
+                     if spacing["second"] is not None else 1.0 / args.fps)
+    actual_fps = 1.0 / max(frame_spacing, 1e-6)
     if tracks:
         audio_mfcc = mfcc(wav_1d, fs)
         score_tracks_asd(tracks, audio_mfcc,
-                         build_asd_scorer(args, wav_1d, fs), fps=args.fps)
+                         build_asd_scorer(args, wav_1d, fs), fps=actual_fps)
         embed_tracks(tracks, build_face_embedder(args))
 
     # audio chain
@@ -244,8 +282,10 @@ def main(argv=None):
             CommonClustering("AHC", mer_cos=0.3, fix_cos_thr=0.3))
         # JointClustering's vision-segment builder assumes 25 fps detections
         # (reference: process/cluster.py:305 stride_gap = stride*0.04);
-        # scale the stride so consecutive frames at OUR fps still chain.
-        conf = types.SimpleNamespace(face_det_stride=25.0 / args.fps)
+        # derive the stride from the MEASURED sampled-frame spacing (the
+        # requested --fps is only approximate after integer decimation) so
+        # consecutive frames always chain.
+        conf = types.SimpleNamespace(face_det_stride=frame_spacing / 0.04)
         labels = joint(pipe.last_embeddings, visionX,
                        [list(c) for c in pipe.last_chunks], visionT,
                        conf=conf)

@@ -62,8 +62,16 @@ def build_frozen_frontend(config, seed: int):
     n_mels = config.get("fbank_dim", 80)
     lfr_m = config.get("lfr_m", 7)
     lfr_n = config.get("lfr_n", 6)
-    fbank = KaldiFbank(FbankConfig(sample_rate=fs, num_mel_bins=n_mels),
-                       mean_norm=True)
+    # Paraformer features use a HAMMING window (reference:
+    # speakerlab/process/processor_para.py FBank -> Kaldi.fbank
+    # window_type='hamming'); mean_nor follows the recipe conf
+    # (egs/.../conf/eres2net_para.yaml feature_extractor mean_nor: True).
+    # The reference's wav*(1<<15) scaling is a constant log-offset that the
+    # mean-norm removes; with mean_norm disabled, CMVN absorbs it.
+    fbank = KaldiFbank(
+        FbankConfig(sample_rate=fs, num_mel_bins=n_mels,
+                    window_type=config.get("fbank_window", "hamming")),
+        mean_norm=config.get("fbank_mean_nor", True))
 
     enc_cfg = config.get("asr_encoder", {})
     enc_cls = dynamic_import(enc_cfg["obj"]) if "obj" in enc_cfg else SANMEncoder

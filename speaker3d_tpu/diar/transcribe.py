@@ -69,7 +69,10 @@ def distribute_speakers(sentences: List[list],
                         fields: Sequence[Sequence],
                         merge_gap_s: float = 2.0) -> List[list]:
     """Assign a speaker per word, then merge runs -> [[text, [st, ed], spk]]."""
-    last_spk = 0
+    # words before any overlapping segment inherit the first real speaker
+    # (the reference's int-0 default would fabricate a label of the wrong
+    # type next to the RTTM's string speakers)
+    last_spk = fields[0][2] if len(fields) else 0
     for sentence in sentences:
         mains = match_spk(sentence, fields)
         main = mains[0] if mains else last_spk

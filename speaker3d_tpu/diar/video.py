@@ -108,15 +108,25 @@ def build_face_tracks(frames: Sequence[np.ndarray], frame_times: Sequence[float]
 
 
 def score_tracks_asd(tracks: List[FaceTrack], audio_mfcc: np.ndarray,
-                     asd_scorer: Callable, fps: float = 25.0) -> None:
-    """Attach per-frame active-speech scores to each track."""
+                     asd_scorer: Callable, fps: float = 25.0,
+                     mfcc_hop_s: float = 0.01) -> None:
+    """Attach per-frame active-speech scores to each track.
+
+    The audio slice is taken by TRUE track time (the reference's
+    ``t0*4`` indexing assumes 25 fps / 10 ms hop); scorers consume exactly
+    4 MFCC frames per visual frame (the TalkNet contract), so at other
+    frame rates the true-time slice is resampled onto that 4:1 grid.
+    """
     for tr in tracks:
-        t0 = int(round(tr.start_time * fps))
         n = len(tr.frame_times)
-        a = audio_mfcc[t0 * 4:(t0 + n) * 4]
-        if a.shape[0] < n * 4:
-            a = np.pad(a, ((0, n * 4 - a.shape[0]), (0, 0)))
-        tr.asd_scores = np.asarray(asd_scorer(a, tr.crops))
+        start = int(round(tr.start_time / mfcc_hop_s))
+        dur = max(1, int(round(n / fps / mfcc_hop_s)))
+        a = audio_mfcc[start:start + dur]
+        if a.shape[0] < dur:
+            a = np.pad(a, ((0, dur - a.shape[0]), (0, 0)))
+        idx = np.clip(np.round(np.linspace(0, dur - 1, 4 * n)).astype(int),
+                      0, dur - 1)
+        tr.asd_scores = np.asarray(asd_scorer(a[idx], tr.crops))
 
 
 def embed_tracks(tracks: List[FaceTrack], face_embedder: Callable,

@@ -34,7 +34,7 @@ def sinusoidal_pe(t: int, d: int) -> np.ndarray:
     div = np.exp(np.arange(0, d, 2, dtype=np.float64) * (-np.log(10000.0) / d))
     pe = np.zeros((t, d), np.float64)
     pe[:, 0::2] = np.sin(pos * div)
-    pe[:, 1::2] = np.cos(pos * div[: (d - (d // 2))])
+    pe[:, 1::2] = np.cos(pos * div[: d // 2])
     return pe.astype(np.float32)
 
 

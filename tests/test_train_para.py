@@ -102,3 +102,16 @@ def test_train_para_e2e(tmp_path):
     assert last_loss < first_loss / 5, log
     assert last_acc >= 0.5, log
     assert os.path.isdir(os.path.join(exp_dir, "models", "CKPT-EPOCH-12-00"))
+
+
+def test_sanm_odd_d_model():
+    """Odd d_model must not crash the sinusoidal PE (regression)."""
+    import jax
+
+    from speaker3d_tpu.models.sanm import SANMEncoder
+
+    enc = SANMEncoder(input_dim=10, d_model=33, num_heads=3, ffn_dim=16,
+                      num_layers=1, kernel_size=3)
+    x = np.zeros((1, 7, 10), np.float32)
+    out = enc.apply(enc.init(jax.random.PRNGKey(0), x), x)
+    assert out.shape == (1, 7, 33)

@@ -76,3 +76,15 @@ def test_transcribe_cli(tmp_path):
     assert lines == ["0: [0.000 0.500] 你好。",
                      "1: [1.500 2.800] 今天天气不错！"]
     assert not os.path.exists(os.path.join(out_dir, "rec2.txt"))
+
+
+def test_leading_words_inherit_first_real_speaker():
+    """Words before any RTTM segment keep the first real (string) speaker
+    instead of a fabricated int 0 (regression)."""
+    from speaker3d_tpu.diar.transcribe import attribute_transcript
+
+    asr = {"text": "早。后记", "raw_text": "早 后记",
+           "timestamp": [[0.0, 0.3], [5.0, 5.4]]}
+    utts = attribute_transcript(asr, [[4.5, 6.0, "spkA"]])
+    assert [u[2] for u in utts] == ["spkA"] or \
+        [u[2] for u in utts] == ["spkA", "spkA"]

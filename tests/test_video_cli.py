@@ -136,3 +136,21 @@ def test_video_driver_errors(video_setup, tmp_path):
     with pytest.raises(RuntimeError, match="face detector"):
         main(["--video", vid_path, "--wav", wav_path,
               "--out_dir", str(tmp_path), "--exp_dir", exp_dir])
+
+
+def test_video_driver_decimated_fps(video_setup, tmp_path):
+    """--fps below the source rate: boxes are keyed by SOURCE frame index,
+    and the vision-segment stride derives from the measured spacing, so the
+    joint step must still separate the speakers (regression: sampled-order
+    keying + hardcoded 25fps stride silently degraded to audio-only)."""
+    root, wav_path, vid_path, boxes_path, exp_dir = video_setup
+    from speaker3d_tpu.cli.infer_diarization_video import main
+
+    out_dir = str(tmp_path)
+    rc = main(["--video", vid_path, "--wav", wav_path,
+               "--out_dir", out_dir, "--exp_dir", exp_dir,
+               "--face_boxes_json", boxes_path, "--fps", "5"])
+    assert rc == 0
+    lines = open(os.path.join(out_dir, "conv.rttm")).read().splitlines()
+    spks = {ln.split()[7] for ln in lines}
+    assert len(spks) == 2, lines

@@ -41,7 +41,7 @@ def bench_fn(fn, x, iters):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", type=int, default=32)  # B=256 compiles >40 min remotely (CLAUDE.md); opt in explicitly
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args()
