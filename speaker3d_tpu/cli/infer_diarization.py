@@ -37,9 +37,17 @@ def get_args(argv=None):
     p.add_argument("--vad_exp_dir", default=None,
                    help="use a trained DFSMN VAD experiment "
                         "(cli/train_vad.py) instead of TenVad/EnergyVAD")
+    p.add_argument("--cluster_type", default="AHC",
+                   choices=["AHC", "spectral", "umap_hdbscan"],
+                   help="clustering backend (fork default: AHC; 'spectral' "
+                        "matches the recipe path conf/diar.yaml; "
+                        "'umap_hdbscan' uses the in-repo native UMAP+HDBSCAN "
+                        "when the external libs are absent)")
     p.add_argument("--cluster_mer_cos", type=float, default=0.3)
     p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
     p.add_argument("--cluster_min_cluster_size", type=int, default=0)
+    p.add_argument("--cluster_pval", type=float, default=0.012,
+                   help="spectral p-pruning value (recipe conf/diar.yaml)")
     p.add_argument("--chunk_dur", type=float, default=1.5)
     p.add_argument("--chunk_step", type=float, default=0.75)
     p.add_argument("--batch_size", type=int, default=64)
@@ -90,9 +98,21 @@ def main(argv=None):
         from speaker3d_tpu.diar.dnn_vad import load_vad_exp
 
         vad = load_vad_exp(args.vad_exp_dir, threshold=args.vad_threshold)
+    cluster = None
+    if args.cluster_type != "AHC":
+        from speaker3d_tpu.diar.cluster import CommonClustering
+
+        kw = {}
+        if args.cluster_type == "spectral":
+            kw = dict(pval=args.cluster_pval, max_num_spks=15,
+                      oracle_num=args.speaker_num)
+        cluster = CommonClustering(
+            args.cluster_type, mer_cos=args.cluster_mer_cos,
+            min_cluster_size=args.cluster_min_cluster_size or 4, **kw)
     pipe = DiarizationPipeline(
         embed_fn,
         vad=vad,
+        cluster=cluster,
         vad_threshold=args.vad_threshold,
         cluster_mer_cos=args.cluster_mer_cos,
         cluster_fix_cos_thr=args.cluster_fix_cos_thr,

@@ -6,7 +6,8 @@ Behavioral contract (reference: speakerlab/process/cluster.py):
     -> k-means on spectral embeddings.
   - AHCluster: average-linkage agglomerative clustering on negative cosine,
     cut at a fixed cosine threshold.
-  - UmapHdbscan: UMAP -> HDBSCAN (optional deps, gated at call time).
+  - UmapHdbscan: UMAP -> HDBSCAN (external libs when installed, else the
+    in-repo native implementations in umap_native.py / hdbscan_native.py).
   - CommonClustering: dispatcher + minor-cluster reassignment + iterative
     centroid cosine merging.
 
@@ -160,31 +161,48 @@ class AHCluster:
 
 class UmapHdbscan:
     """UMAP dim-reduction + HDBSCAN density clustering.
-    (reference: process/cluster.py:115-137). Requires optional deps."""
+    (reference: process/cluster.py:115-137).
+
+    Uses the external `umap-learn`/`hdbscan` packages when installed;
+    otherwise falls back to the in-repo native implementations
+    (diar/umap_native.py — JAX force-directed layout that runs the epoch
+    loop as one jitted fori_loop on the accelerator — and
+    diar/hdbscan_native.py — exact mutual-reachability-MST HDBSCAN*)."""
 
     def __init__(self, n_neighbors=20, n_components=60, min_samples=20,
-                 min_cluster_size=10, metric="euclidean"):
+                 min_cluster_size=10, metric="euclidean", backend="auto"):
         self.n_neighbors = n_neighbors
         self.n_components = n_components
         self.min_samples = min_samples
         self.min_cluster_size = min_cluster_size
         self.metric = metric
+        self.backend = backend
 
     def __call__(self, X, **kwargs):
-        try:
-            import hdbscan
-            import umap
-        except ImportError as e:
-            raise ImportError(
-                "umap_hdbscan clustering requires `umap-learn` and `hdbscan`; "
-                "use cluster_type='spectral' or 'AHC' instead") from e
-        umap_x = umap.UMAP(
-            n_neighbors=self.n_neighbors, min_dist=0.0,
-            n_components=min(self.n_components, X.shape[0] - 2),
-            metric=self.metric).fit_transform(X)
-        return hdbscan.HDBSCAN(
-            min_samples=self.min_samples,
-            min_cluster_size=self.min_cluster_size).fit_predict(umap_x)
+        n_components = min(self.n_components, X.shape[0] - 2)
+        if self.backend in ("auto", "external"):
+            try:
+                import hdbscan
+                import umap
+
+                umap_x = umap.UMAP(
+                    n_neighbors=self.n_neighbors, min_dist=0.0,
+                    n_components=n_components,
+                    metric=self.metric).fit_transform(X)
+                return hdbscan.HDBSCAN(
+                    min_samples=self.min_samples,
+                    min_cluster_size=self.min_cluster_size).fit_predict(umap_x)
+            except ImportError:
+                if self.backend == "external":
+                    raise
+        from speaker3d_tpu.diar.hdbscan_native import hdbscan_labels
+        from speaker3d_tpu.diar.umap_native import umap_embed
+
+        umap_x = umap_embed(
+            X, n_neighbors=self.n_neighbors, min_dist=0.0,
+            n_components=n_components, metric=self.metric)
+        return hdbscan_labels(umap_x, min_samples=self.min_samples,
+                              min_cluster_size=self.min_cluster_size)
 
 
 class CommonClustering:
