@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--t_tile", type=int, default=32)
     ap.add_argument("--vmem_mb", type=int, default=0)
     ap.add_argument("--skip_stock", action="store_true")
+    ap.add_argument("--skip_fused", action="store_true",
+                    help="stock-only run (e.g. batch-size sweeps)")
     args = ap.parse_args()
 
     import jax
@@ -63,18 +65,19 @@ def main():
     def embed_fused(w):
         return fused_fn(fbank(w).astype(jnp.bfloat16)).astype(jnp.float32)
 
-    small = wavs[:16]
-    print("compiling fp32 reference...", flush=True)
-    e_ref = np.asarray(embed_ref(small))
-    print("compiling fused path (Mosaic)...", flush=True)
-    t0 = time.perf_counter()
-    e_fused = np.asarray(embed_fused(small))
-    print(f"fused small-batch compile+run: {time.perf_counter()-t0:.1f}s",
-          flush=True)
-    cos = np.sum(e_ref * e_fused, -1) / (
-        np.linalg.norm(e_ref, axis=-1) * np.linalg.norm(e_fused, axis=-1))
-    print(f"fused vs fp32 min cosine: {cos.min():.6f}", flush=True)
-    assert cos.min() > 0.999, "fused path accuracy gate failed"
+    if not args.skip_fused:
+        small = wavs[:16]
+        print("compiling fp32 reference...", flush=True)
+        e_ref = np.asarray(embed_ref(small))
+        print("compiling fused path (Mosaic)...", flush=True)
+        t0 = time.perf_counter()
+        e_fused = np.asarray(embed_fused(small))
+        print(f"fused small-batch compile+run: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        cos = np.sum(e_ref * e_fused, -1) / (
+            np.linalg.norm(e_ref, axis=-1) * np.linalg.norm(e_fused, axis=-1))
+        print(f"fused vs fp32 min cosine: {cos.min():.6f}", flush=True)
+        assert cos.min() > 0.999, "fused path accuracy gate failed"
 
     def timed(apply_bf16, label):
         @jax.jit
@@ -102,8 +105,9 @@ def main():
     if not args.skip_stock:
         results["stock"] = timed(
             lambda f: model.apply(variables_bf16, f), "stock-bf16")
-    results["fused"] = timed(fused_fn, "fused-bf16")
-    if "stock" in results:
+    if not args.skip_fused:
+        results["fused"] = timed(fused_fn, "fused-bf16")
+    if "stock" in results and "fused" in results:
         print(f"speedup: {results['fused']/results['stock']:.3f}x", flush=True)
 
 
