@@ -37,6 +37,16 @@ def get_args(argv=None):
     p.add_argument("--vad_exp_dir", default=None,
                    help="use a trained DFSMN VAD experiment "
                         "(cli/train_vad.py) instead of TenVad/EnergyVAD")
+    # VAD post-processing knobs (reference fork exposes these through its
+    # batch drivers, e.g. run_diarization_speech_estimate.py:88-107)
+    p.add_argument("--vad_min_speech_ms", type=float, default=200.0,
+                   help="drop speech segments shorter than this")
+    p.add_argument("--vad_max_silence_ms", type=float, default=300.0,
+                   help="fill silence gaps up to this long")
+    p.add_argument("--vad_energy_threshold", type=float, default=0.05,
+                   help="energy floor for boundary refinement")
+    p.add_argument("--vad_boundary_expansion_ms", type=float, default=10.0,
+                   help="re-expansion margin after energy contraction")
     p.add_argument("--cluster_type", default="AHC",
                    choices=["AHC", "spectral", "umap_hdbscan"],
                    help="clustering backend (fork default: AHC; 'spectral' "
@@ -114,6 +124,10 @@ def main(argv=None):
         vad=vad,
         cluster=cluster,
         vad_threshold=args.vad_threshold,
+        vad_min_speech_ms=args.vad_min_speech_ms,
+        vad_max_silence_ms=args.vad_max_silence_ms,
+        vad_energy_threshold=args.vad_energy_threshold,
+        vad_boundary_expansion_ms=args.vad_boundary_expansion_ms,
         cluster_mer_cos=args.cluster_mer_cos,
         cluster_fix_cos_thr=args.cluster_fix_cos_thr,
         cluster_min_cluster_size=args.cluster_min_cluster_size,

@@ -150,6 +150,45 @@ def test_run_diarization_on_dir_driver(tiny_exp, tmp_path):
     assert "num_speakers" in first and first["segments"]
 
 
+def test_run_diarization_speech_estimate_driver(tiny_exp, tmp_path):
+    """Top-level driver: pattern scan, knob forwarding, default out_dir
+    naming (<src>_3dspeaker_diarization), JSON + sidecar outputs."""
+    import shutil
+    import sys
+
+    root, config, rows = tiny_exp
+    src_dir = os.path.join(tmp_path, "estimates")
+    os.makedirs(src_dir)
+    for rid, p, _ in rows[:2]:
+        shutil.copy(p, os.path.join(src_dir, f"{rid}_speech_estimate.wav"))
+    sys.path.insert(0, "/root/repo")
+    import run_diarization_speech_estimate as driver
+
+    argv_backup = sys.argv
+    sys.argv = ["run_diarization_speech_estimate.py",
+                "--src_dir", src_dir,
+                "--exp_dir", config["exp_dir"],
+                "--speaker_num", "1",
+                "--vad_min_speech_ms", "150",
+                "--vad_max_silence_ms", "250",
+                "--cluster_mer_cos", "0.3",
+                "--batch_size", "8"]
+    try:
+        rc = driver.main()
+    finally:
+        sys.argv = argv_backup
+    assert rc == 0
+    out_dir = os.path.join(tmp_path, "estimates_3dspeaker_diarization")
+    assert os.path.isdir(out_dir)
+    jsons = [f for f in os.listdir(out_dir)
+             if f.endswith(".json") and "." not in f[:-5]]
+    assert len(jsons) == 2
+    segs = json.load(open(os.path.join(out_dir, jsons[0])))
+    assert segs and all("speaker" in v for v in segs.values())
+    metas = [f for f in os.listdir(out_dir) if f.endswith(".meta.json")]
+    assert len(metas) == 2
+
+
 def test_analyze_similarity(tmp_path):
     """Similarity analysis CLI (reference fork: egs/mix_adult_kid
     compute_utterance_similarities_analysis.py semantics)."""
