@@ -47,6 +47,18 @@ def get_args(argv=None):
                    help="energy floor for boundary refinement")
     p.add_argument("--vad_boundary_expansion_ms", type=float, default=10.0,
                    help="re-expansion margin after energy contraction")
+    p.add_argument("--vad_boundary_energy_percentile", type=float,
+                   default=10.0,
+                   help="dynamic-threshold percentile for boundary "
+                        "refinement")
+    p.add_argument("--include_overlap", action="store_true",
+                   help="overlap-aware post-processing via a sliding "
+                        "segmentation model (reference uses pyannote "
+                        "segmentation-3.0; here a native FSMN segmenter "
+                        "trained with cli/train_segmentation.py)")
+    p.add_argument("--segmentation_exp_dir", default=None,
+                   help="cli/train_segmentation.py experiment dir "
+                        "(required with --include_overlap)")
     p.add_argument("--cluster_type", default="AHC",
                    choices=["AHC", "spectral", "umap_hdbscan"],
                    help="clustering backend (fork default: AHC; 'spectral' "
@@ -91,6 +103,9 @@ def main(argv=None):
     from speaker3d_tpu.utils.fileio import load_audio, write_wav
 
     args = get_args(argv)
+    if args.include_overlap and not args.segmentation_exp_dir:
+        raise SystemExit("--include_overlap requires --segmentation_exp_dir "
+                         "(train one with cli/train_segmentation.py)")
     os.makedirs(args.out_dir, exist_ok=True)
 
     if args.exp_dir:
@@ -108,6 +123,11 @@ def main(argv=None):
         from speaker3d_tpu.diar.dnn_vad import load_vad_exp
 
         vad = load_vad_exp(args.vad_exp_dir, threshold=args.vad_threshold)
+    segmentation = None
+    if args.include_overlap:
+        from speaker3d_tpu.diar.dnn_seg import load_segmentation_exp
+
+        segmentation = load_segmentation_exp(args.segmentation_exp_dir)
     cluster = None
     if args.cluster_type != "AHC":
         from speaker3d_tpu.diar.cluster import CommonClustering
@@ -128,6 +148,8 @@ def main(argv=None):
         vad_max_silence_ms=args.vad_max_silence_ms,
         vad_energy_threshold=args.vad_energy_threshold,
         vad_boundary_expansion_ms=args.vad_boundary_expansion_ms,
+        vad_boundary_energy_percentile=args.vad_boundary_energy_percentile,
+        segmentation_model=segmentation,
         cluster_mer_cos=args.cluster_mer_cos,
         cluster_fix_cos_thr=args.cluster_fix_cos_thr,
         cluster_min_cluster_size=args.cluster_min_cluster_size,

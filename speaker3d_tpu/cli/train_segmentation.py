@@ -1,0 +1,147 @@
+"""FSMN segmentation trainer CLI (new capability — the reference's overlap
+detection is a frozen pyannote download; see models/segmentation.py).
+
+Usage:
+  python -m speaker3d_tpu.cli.train_segmentation \
+      --config configs/fsmn_seg.yaml [--any_yaml_key=value ...]
+
+Config keys: exp_dir, speech (CSV with ID,wav,spk or wav.scp + utt2spk),
+noise (optional scp), window_dur, max_speakers, batch_size, num_epoch, lr
+schedule, model.args (FSMNSegmenter kwargs). The trained experiment plugs
+into diarization via `python -m speaker3d_tpu.cli.infer_diarization
+--include_overlap --segmentation_exp_dir <exp_dir>`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import jax
+import numpy as np
+
+from speaker3d_tpu.data.dataset import BatchLoader
+from speaker3d_tpu.data.dataset_seg import SyntheticSegmentationDataset
+from speaker3d_tpu.models.segmentation import FSMNSegmenter
+from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
+from speaker3d_tpu.parallel.mesh import make_mesh
+from speaker3d_tpu.train.seg_train import (
+    SegTrainConfig,
+    init_seg_train_state,
+    make_seg_train_step,
+)
+from speaker3d_tpu.utils.checkpoint import Checkpointer, EpochCounter, EpochLogger
+from speaker3d_tpu.utils.config import build_config
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train the FSMN overlap segmentation model")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--seed", type=int, default=1234)
+    args, overrides = parser.parse_known_args(argv)
+    return args, overrides
+
+
+def main(argv=None):
+    args, overrides = get_args(argv)
+    config = build_config(args.config, overrides, copy_to_exp_dir=True)
+    exp_dir = config["exp_dir"]
+    os.makedirs(exp_dir, exist_ok=True)
+
+    fs = config.get("sample_rate", 16000)
+    max_speakers = config.get("max_speakers", 3)
+    dataset = SyntheticSegmentationDataset(
+        speech=config["speech"],
+        noise=config.get("noise"),
+        utt2spk=config.get("utt2spk"),
+        sample_rate=fs,
+        window_dur=config.get("window_dur", 5.0),
+        max_speakers=max_speakers,
+        events_per_speaker=config.get("events_per_speaker", 2),
+        min_event_dur=config.get("min_event_dur", 0.4),
+        snr_range=tuple(config.get("snr_range", (0.0, 20.0))),
+        seed=args.seed,
+        size=config.get("dataset_size"),
+    )
+    loader = BatchLoader(
+        dataset,
+        batch_size=config.get("batch_size", 32),
+        num_workers=config.get("num_workers", 4),
+        seed=args.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    step_per_epoch = max(len(loader), 1)
+
+    margs = dict(config.get("model", {}).get("args", {}))
+    margs.setdefault("max_speakers", max_speakers)
+    model = FSMNSegmenter(**margs)
+
+    n_dev = len(jax.devices())
+    per_host_batch = config.get("batch_size", 32) // jax.process_count()
+    n_data = math.gcd(per_host_batch, n_dev)
+    mesh = make_mesh(data=n_data, model=1, devices=jax.devices()[:n_data])
+
+    cfg = SegTrainConfig(
+        min_lr=config.get("min_lr", 1e-5),
+        max_lr=config.get("max_lr", 1e-3),
+        warmup_epoch=config.get("warmup_epoch", 1),
+        fix_epoch=config.get("num_epoch", 10),
+        step_per_epoch=step_per_epoch,
+        weight_decay=config.get("weight_decay", 1e-5),
+    )
+
+    # mean_norm=False: absolute log-mel features, window-placement invariant
+    # (see diar/dnn_seg.py).
+    fbank = KaldiFbank(FbankConfig(sample_rate=fs,
+                                   num_mel_bins=model.feat_dim),
+                       mean_norm=False)
+    rng = jax.random.PRNGKey(args.seed)
+    example_wav = np.zeros((1, dataset.win), np.float32)
+    example_feats = np.asarray(fbank(example_wav))
+    state = init_seg_train_state(rng, model, example_feats, mesh)
+    host_state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    train_step = make_seg_train_step(model, cfg, mesh, host_state,
+                                     feature_fn=fbank)
+
+    epoch_counter = EpochCounter(config.get("num_epoch", 10))
+    checkpointer = Checkpointer(os.path.join(exp_dir, "models"),
+                                recoverables={"epoch_counter": epoch_counter})
+    recovered = checkpointer.recover_if_possible()
+    if recovered is not None and "train_state" in recovered:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        state = jax.device_put(recovered["train_state"],
+                               jax.tree_util.tree_map(lambda _: rep,
+                                                      host_state))
+        print(f"recovered from epoch {recovered['__meta__']['epoch']}")
+
+    logger = EpochLogger(os.path.join(exp_dir, "train_epoch.log"))
+    log_every = config.get("log_batch_freq", 10)
+    for epoch in epoch_counter:
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        losses, accs = [], []
+        for i, batch in enumerate(loader):
+            state, metrics = train_step(state, batch)
+            losses.append(float(metrics["loss"]))
+            accs.append(float(metrics["acc"]))
+            if (i + 1) % log_every == 0:
+                print(f"epoch {epoch} step {i+1}/{step_per_epoch} "
+                      f"loss {losses[-1]:.4f} acc {accs[-1]:.3f} "
+                      f"lr {float(metrics['lr']):.6f}", flush=True)
+        if jax.process_index() == 0:
+            logger.log_stats(
+                {"epoch": epoch, "time_s": round(time.time() - t0, 1)},
+                {"avg_loss": float(np.mean(losses)) if losses else None,
+                 "avg_acc": float(np.mean(accs)) if accs else None})
+            host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+            checkpointer.save_checkpoint(epoch, {"train_state": host})
+
+
+if __name__ == "__main__":
+    main()
