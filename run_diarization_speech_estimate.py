@@ -58,6 +58,7 @@ def main():
         ("--vad_boundary_expansion_ms", float), ("--cluster_mer_cos", float),
         ("--cluster_fix_cos_thr", float), ("--cluster_min_cluster_size", int),
         ("--chunk_dur", float), ("--chunk_step", float), ("--batch_size", int),
+        ("--nprocs", int),
     ]
     for flag, typ in forwarded:
         p.add_argument(flag, type=typ, default=None)

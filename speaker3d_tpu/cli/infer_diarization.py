@@ -74,6 +74,12 @@ def get_args(argv=None):
     p.add_argument("--chunk_step", type=float, default=0.75)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--no_chunk_after_vad", action="store_true")
+    p.add_argument("--nprocs", type=int, default=1,
+                   help="local process fan-out: files are round-robin "
+                        "sharded rank::nprocs across spawned subprocesses "
+                        "(reference: mp.spawn per GPU). Caution: >1 is for "
+                        "CPU/multi-device hosts — never run two processes "
+                        "against a single shared TPU")
     p.add_argument("--sidecar", action="store_true",
                    help="write .meta.json/.vad_info.json/.pairs.json/"
                         ".vad_masked.wav diagnostics")
@@ -107,6 +113,35 @@ def main(argv=None):
         raise SystemExit("--include_overlap requires --segmentation_exp_dir "
                          "(train one with cli/train_segmentation.py)")
     os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.nprocs > 1 and "SPEAKER3D_PROC_INDEX" not in os.environ:
+        # local fan-out (reference: mp.spawn(main_process, nprocs),
+        # bin/infer_diarization.py:1108): re-exec one subprocess per rank
+        # with the shard identity in the environment; process_shard picks
+        # it up below.
+        import subprocess
+        import sys
+
+        base_argv = list(argv if argv is not None else sys.argv[1:])
+        for i, tok in enumerate(base_argv):
+            if tok == "--nprocs":
+                del base_argv[i:i + 2]
+                break
+            if tok.startswith("--nprocs="):
+                del base_argv[i]
+                break
+        procs = []
+        for rank in range(args.nprocs):
+            env = dict(os.environ,
+                       SPEAKER3D_PROC_INDEX=str(rank),
+                       SPEAKER3D_PROC_COUNT=str(args.nprocs))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "speaker3d_tpu.cli.infer_diarization"]
+                + base_argv, env=env))
+        codes = [p.wait() for p in procs]
+        if any(codes):
+            raise SystemExit(f"subprocess exit codes: {codes}")
+        return
 
     if args.exp_dir:
         from speaker3d_tpu.cli.extract import build_model_from_exp

@@ -69,7 +69,19 @@ def init_multihost(coordinator_address: Optional[str] = None,
 def process_shard(items, process_index: Optional[int] = None,
                   process_count: Optional[int] = None):
     """Round-robin shard of a host-side work list by process.
-    (reference: rank::world file sharding, bin/extract.py:67)"""
-    pi = jax.process_index() if process_index is None else process_index
-    pc = jax.process_count() if process_count is None else process_count
-    return list(items)[pi::pc]
+    (reference: rank::world file sharding, bin/extract.py:67)
+
+    Rank resolution precedence: explicit arguments > SPEAKER3D_PROC_INDEX /
+    SPEAKER3D_PROC_COUNT env vars (set by local --nprocs fan-out, mirroring
+    the reference's mp.spawn rank::nprocs, bin/infer_diarization.py:924) >
+    jax process index (multi-host pods).
+    """
+    import os
+
+    if process_index is None:
+        process_index = int(os.environ.get("SPEAKER3D_PROC_INDEX",
+                                           jax.process_index()))
+    if process_count is None:
+        process_count = int(os.environ.get("SPEAKER3D_PROC_COUNT",
+                                           jax.process_count()))
+    return list(items)[process_index::process_count]

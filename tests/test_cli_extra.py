@@ -189,6 +189,41 @@ def test_run_diarization_speech_estimate_driver(tiny_exp, tmp_path):
     assert len(metas) == 2
 
 
+def test_infer_diarization_nprocs_fanout(tiny_exp, tmp_path):
+    """--nprocs spawns rank::nprocs subprocess shards that jointly cover
+    every input file (reference: mp.spawn per GPU)."""
+    root, config, rows = tiny_exp
+    out_dir = os.path.join(tmp_path, "fan_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    wavs = [p for _, p, _ in rows[:3]]
+    res = subprocess.run(
+        [os.sys.executable, "-m", "speaker3d_tpu.cli.infer_diarization",
+         "--wav", *wavs, "--out_dir", out_dir,
+         "--exp_dir", config["exp_dir"], "--nprocs", "2",
+         "--out_type", "json"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    produced = sorted(f for f in os.listdir(out_dir) if f.endswith(".json"))
+    assert produced == sorted(
+        os.path.splitext(os.path.basename(p))[0] + ".json" for p in wavs)
+
+
+def test_process_shard_env_override(monkeypatch):
+    from speaker3d_tpu.parallel.mesh import process_shard
+
+    items = list(range(7))
+    monkeypatch.setenv("SPEAKER3D_PROC_INDEX", "1")
+    monkeypatch.setenv("SPEAKER3D_PROC_COUNT", "3")
+    assert process_shard(items) == [1, 4]
+    # explicit args win over the environment
+    assert process_shard(items, 0, 2) == [0, 2, 4, 6]
+    # shards partition the list
+    monkeypatch.delenv("SPEAKER3D_PROC_INDEX")
+    monkeypatch.delenv("SPEAKER3D_PROC_COUNT")
+    shards = [process_shard(items, r, 3) for r in range(3)]
+    assert sorted(x for s in shards for x in s) == items
+
+
 def test_analyze_similarity(tmp_path):
     """Similarity analysis CLI (reference fork: egs/mix_adult_kid
     compute_utterance_similarities_analysis.py semantics)."""
