@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Extract embeddings for a corpus and conclude speaker similarities
+# (reference: egs/extract_and_comclude_similarities/): batch extraction +
+# speaker/utterance-level cosine similarity reports with cross-dataset
+# accounting.
+set -euo pipefail
+cd "$(dirname "$0")"; REPO_ROOT=$(cd ../.. && pwd); export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+wav_list=${WAV_LIST:-data/wavs.list}
+out_dir=${OUT_DIR:-exp/similarities}
+model_id=${MODEL_ID:-iic/speech_eres2netv2w24s4ep4_sv_zh-cn_16k-common}
+python -m speaker3d_tpu.cli.infer_sv_batch --model_id "$model_id" \
+  --wavs "$wav_list" --out_dir "$out_dir/embeddings" --out_type npy
+python -m speaker3d_tpu.cli.analyze_similarity --emb "$out_dir/embeddings" \
+  --out_dir "$out_dir/report" ${UTT2SPK:+--utt2spk "$UTT2SPK"} \
+  ${DATASET_MAP:+--dataset_map "$DATASET_MAP"} \
+  --level "${LEVEL:-speaker}" --min_similarity "${MIN_SIM:-0.5}" \
+  --max_results "${TOP_PAIRS:-1000}"

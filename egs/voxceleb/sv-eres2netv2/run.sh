@@ -47,6 +47,7 @@ if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   python -m speaker3d_tpu.cli.train \
     --config "$REPO_ROOT/configs/eres2netv2.yaml" \
     --data=$data/train.csv --exp_dir=${exp_dir}_lm \
+    --init_exp_dir=$exp_dir \
     --wav_len=6.0 --max_lr=0.0001 --min_lr=0.00001 \
     --initial_margin=0.5 --final_margin=0.5 --num_epoch=7 --batch_size=108
 fi

@@ -136,6 +136,34 @@ def main(argv=None):
         state = jax.device_put(recovered["train_state"],
                                state_shardings(host_state, mesh))
         print(f"recovered from epoch {recovered['__meta__']['epoch']}")
+    elif config.get("init_exp_dir"):
+        # warm start for large-margin finetune (reference: egs/3dspeaker/
+        # sv-eres2netv2/run.sh:44-46 copies the checkpoint dir and sed's the
+        # epoch to 0): load model/classifier weights from another experiment,
+        # reset the step counter and optimizer state.
+        from speaker3d_tpu.train.sv_train import state_shardings
+
+        src_ckpt = Checkpointer(
+            os.path.join(config["init_exp_dir"], "models"))
+        src = src_ckpt.recover_if_possible()
+        if src is None or "train_state" not in src:
+            raise FileNotFoundError(
+                f"--init_exp_dir: no checkpoint under "
+                f"{config['init_exp_dir']}/models")
+        warm = src["train_state"]
+        for key in ("params", "cls_w", "batch_stats"):
+            if key in warm and key in host_state:
+                src_shapes = jax.tree_util.tree_map(np.shape, warm[key])
+                dst_shapes = jax.tree_util.tree_map(np.shape,
+                                                    host_state[key])
+                if src_shapes != dst_shapes:
+                    raise ValueError(
+                        f"--init_exp_dir: '{key}' shapes differ from this "
+                        f"config (e.g. a different class count)")
+                host_state[key] = warm[key]
+        state = jax.device_put(host_state, state_shardings(host_state, mesh))
+        print(f"warm start from {config['init_exp_dir']} "
+              f"(epoch {src['__meta__']['epoch']}), optimizer reset")
 
     logger = EpochLogger(os.path.join(exp_dir, "train_epoch.log"))
     label_encoder.save(os.path.join(exp_dir, "label_encoder.pkl"))

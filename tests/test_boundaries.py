@@ -38,3 +38,33 @@ def test_detect_speaker_boundaries_three_speakers():
     assert len(bounds) == 2
     assert abs(bounds[0] - 65) <= 3
     assert abs(bounds[1] - 135) <= 3
+
+
+def test_detect_boundaries_recipe_cli(tmp_path):
+    """egs/split_sequential_speakers/detect_boundaries.py end-to-end on
+    per-utterance .npy embeddings (sorted-name sequential order)."""
+    import importlib.util
+    import json
+    import os
+
+    x = _sequential_embs([30, 25], seed=3)
+    emb_dir = os.path.join(tmp_path, "emb")
+    os.makedirs(emb_dir)
+    for i, e in enumerate(x):
+        np.save(os.path.join(emb_dir, f"utt{i:04d}.npy"),
+                e.astype(np.float32))
+
+    spec = importlib.util.spec_from_file_location(
+        "detect_boundaries",
+        "/root/repo/egs/split_sequential_speakers/detect_boundaries.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = os.path.join(tmp_path, "b.json")
+    rc = mod.main(["--emb", emb_dir, "--num_speakers", "2",
+                   "--method", "gmm", "--out", out])
+    assert rc == 0
+    result = json.load(open(out))
+    assert len(result["boundaries"]) == 1
+    assert abs(result["boundaries"][0] - 30) <= 3, result
+    assert result["segments"][0]["first_utt"] == "utt0000"
+    assert result["segments"][1]["last_utt"] == "utt0054"

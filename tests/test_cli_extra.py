@@ -208,6 +208,45 @@ def test_infer_diarization_nprocs_fanout(tiny_exp, tmp_path):
         os.path.splitext(os.path.basename(p))[0] + ".json" for p in wavs)
 
 
+def test_train_warm_start_init_exp_dir(tiny_exp, tmp_path):
+    """--init_exp_dir warm-starts model+classifier weights with a fresh
+    optimizer (reference LM-finetune semantics: copy ckpt, reset epoch).
+    With lr=0 the finetuned checkpoint's weights must equal the source's."""
+    root, config, rows = tiny_exp
+    from speaker3d_tpu.cli.train import main as train_main
+    from speaker3d_tpu.utils.checkpoint import Checkpointer
+
+    lm_exp = os.path.join(tmp_path, "exp_lm")
+    train_main(["--config", os.path.join(root, "cfg.yaml"),
+                f"--exp_dir={lm_exp}",
+                f"--init_exp_dir={config['exp_dir']}",
+                "--num_epoch=1", "--max_lr=0.0", "--min_lr=0.0",
+                "--warmup_epoch=1"])
+
+    src = Checkpointer(os.path.join(config["exp_dir"], "models")) \
+        .recover_if_possible()["train_state"]
+    dst = Checkpointer(os.path.join(lm_exp, "models")) \
+        .recover_if_possible()["train_state"]
+    import jax
+
+    for key in ("params", "cls_w"):
+        for a, b in zip(jax.tree_util.tree_leaves(src[key]),
+                        jax.tree_util.tree_leaves(dst[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(dst["step"]) == 1  # fresh counter, one lr=0 epoch of 1 step
+
+
+def test_train_warm_start_shape_mismatch(tiny_exp, tmp_path):
+    root, config, rows = tiny_exp
+    from speaker3d_tpu.cli.train import main as train_main
+
+    with pytest.raises(ValueError, match="shapes differ"):
+        train_main(["--config", os.path.join(root, "cfg.yaml"),
+                    f"--exp_dir={os.path.join(tmp_path, 'bad')}",
+                    f"--init_exp_dir={config['exp_dir']}",
+                    "--embedding_size=8", "--num_epoch=1"])
+
+
 def test_process_shard_env_override(monkeypatch):
     from speaker3d_tpu.parallel.mesh import process_shard
 
