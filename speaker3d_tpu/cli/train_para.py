@@ -90,10 +90,17 @@ def build_frozen_frontend(config, seed: int):
     ex_feats = np.asarray(fbank(example))
     ex_lfr = np.asarray(apply_lfr_device(ex_feats, lfr_m, lfr_n))
     if config.get("encoder_ckpt"):
-        import pickle
+        ckpt = config["encoder_ckpt"]
+        if ckpt.endswith((".pt", ".pth", ".bin", ".pb")):
+            # a funasr Paraformer model.pt (or encoder-only state_dict)
+            from speaker3d_tpu.compat.funasr_convert import load_funasr_encoder
 
-        with open(config["encoder_ckpt"], "rb") as f:
-            enc_params = pickle.load(f)
+            enc_params = load_funasr_encoder(ckpt, encoder, ex_lfr)
+        else:
+            import pickle
+
+            with open(ckpt, "rb") as f:
+                enc_params = pickle.load(f)
     else:
         enc_params = jax.jit(encoder.init, static_argnames=("train",))(
             jax.random.PRNGKey(seed + 7), ex_lfr, train=False)["params"]
