@@ -300,3 +300,20 @@ def test_analyze_similarity(tmp_path):
     mat = np.load(os.path.join(out, "similarity_matrix.npy"))
     assert mat.shape == (4, 4)
     assert os.path.isfile(os.path.join(out, "similarity_analysis.csv"))
+
+
+def test_train_profile_dir(tiny_exp, tmp_path):
+    """--profile_dir writes a TensorBoard-loadable trace of a step window."""
+    root, config, rows = tiny_exp
+    prof = os.path.join(tmp_path, "prof")
+    from speaker3d_tpu.cli.train import main as train_main
+
+    train_main(["--config", os.path.join(root, "cfg.yaml"),
+                f"--exp_dir={os.path.join(tmp_path, 'exp_prof')}",
+                "--num_epoch=3", "--profile_dir", prof,
+                "--profile_steps", "1"])
+    traces = []
+    for dirpath, _, files in os.walk(prof):
+        traces += [f for f in files if f.endswith((".trace.json.gz", ".pb",
+                                                   ".json.gz", ".xplane.pb"))]
+    assert traces, f"no trace files under {prof}"
