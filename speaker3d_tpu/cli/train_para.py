@@ -50,6 +50,10 @@ def get_args(argv=None):
         description="Train a speaker model on frozen ASR-encoder features")
     parser.add_argument("--config", required=True)
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a TensorBoard trace of a window of "
+                             "train steps (utils/profiling.py)")
+    parser.add_argument("--profile_steps", type=int, default=5)
     args, overrides = parser.parse_known_args(argv)
     return args, overrides
 
@@ -198,12 +202,19 @@ def main(argv=None):
     logger = EpochLogger(os.path.join(exp_dir, "train_epoch.log"))
     label_encoder.save(os.path.join(exp_dir, "label_encoder.pkl"))
     log_every = config.get("log_batch_freq", 50)
+    from speaker3d_tpu.utils.profiling import StepTracer
+
+    tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
+    global_step = 0
     for epoch in epoch_counter:
         loader.set_epoch(epoch)
         t0 = time.time()
         losses, accs = [], []
         for i, batch in enumerate(loader):
+            tracer.before_step(global_step)
             state, metrics = train_step(state, batch)
+            tracer.after_step(global_step, wait_for=metrics["loss"])
+            global_step += 1
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
             if (i + 1) % log_every == 0:
@@ -217,6 +228,7 @@ def main(argv=None):
                  "avg_acc": float(np.mean(accs)) if accs else None})
             host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
             checkpointer.save_checkpoint(epoch, {"train_state": host})
+    tracer.close()
 
 
 if __name__ == "__main__":
