@@ -68,6 +68,11 @@ def get_args(argv=None):
     p.add_argument("--cluster_mer_cos", type=float, default=0.3)
     p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
     p.add_argument("--cluster_min_cluster_size", type=int, default=0)
+    p.add_argument("--cluster_min_cluster_ratio", type=float, default=None,
+                   help="relative minor-cluster threshold: effective size = "
+                        "max(min_cluster_size, ceil(ratio*num_chunks)) — "
+                        "keeps the filter calibrated across chunk_step "
+                        "changes (arXiv:2606.08505)")
     p.add_argument("--cluster_pval", type=float, default=0.012,
                    help="spectral p-pruning value (recipe conf/diar.yaml)")
     p.add_argument("--chunk_dur", type=float, default=1.5)
@@ -173,7 +178,8 @@ def main(argv=None):
                       oracle_num=args.speaker_num)
         cluster = CommonClustering(
             args.cluster_type, mer_cos=args.cluster_mer_cos,
-            min_cluster_size=args.cluster_min_cluster_size or 4, **kw)
+            min_cluster_size=args.cluster_min_cluster_size or 4,
+            min_cluster_ratio=args.cluster_min_cluster_ratio, **kw)
     pipe = DiarizationPipeline(
         embed_fn,
         vad=vad,
@@ -188,6 +194,7 @@ def main(argv=None):
         cluster_mer_cos=args.cluster_mer_cos,
         cluster_fix_cos_thr=args.cluster_fix_cos_thr,
         cluster_min_cluster_size=args.cluster_min_cluster_size,
+        cluster_min_cluster_ratio=args.cluster_min_cluster_ratio,
         chunk_dur=args.chunk_dur,
         chunk_step=args.chunk_step,
         batch_size=args.batch_size,

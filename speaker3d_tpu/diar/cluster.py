@@ -210,10 +210,19 @@ class CommonClustering:
     (reference: process/cluster.py:159-239)"""
 
     def __init__(self, cluster_type, cluster_line=40, mer_cos=None,
-                 min_cluster_size=4, **kwargs):
+                 min_cluster_size=4, min_cluster_ratio=None, **kwargs):
+        """``min_cluster_ratio``: optional RELATIVE minimum cluster size —
+        the effective minor-cluster threshold becomes
+        max(min_cluster_size, ceil(ratio * num_chunks)). Keeps the minor
+        filter calibrated when the chunking stride changes (halving the
+        number of chunks halves absolute cluster sizes): a fixed absolute
+        size that works at step 0.75 s under-filters at step 1.5 s.
+        (Beyond the reference; after arXiv:2606.08505 "Relative Minimum
+        Cluster Size for Stride-Accelerated Pipelines".)"""
         self.cluster_type = cluster_type
         self.cluster_line = cluster_line
         self.min_cluster_size = min_cluster_size
+        self.min_cluster_ratio = min_cluster_ratio
         self.mer_cos = mer_cos
         if cluster_type == "spectral":
             self.cluster = SpectralCluster(**kwargs)
@@ -235,7 +244,11 @@ class CommonClustering:
         else:
             labels = self.cluster(X, **kwargs)
         labels = np.asarray(labels).copy()
-        labels = self.filter_minor_cluster(labels, X, self.min_cluster_size)
+        min_size = self.min_cluster_size
+        if self.min_cluster_ratio is not None:
+            min_size = max(min_size,
+                           int(np.ceil(self.min_cluster_ratio * X.shape[0])))
+        labels = self.filter_minor_cluster(labels, X, min_size)
         if self.mer_cos is not None:
             labels = self.merge_by_cos(labels, X, self.mer_cos)
         return labels
@@ -245,10 +258,10 @@ class CommonClustering:
         nearest (cosine) major-cluster centroid."""
         cset = np.unique(labels)
         csize = np.array([(labels == i).sum() for i in cset])
-        minor = cset[csize <= self.min_cluster_size]
+        minor = cset[csize <= min_cluster_size]
         if len(minor) == 0:
             return labels
-        major = cset[csize > self.min_cluster_size]
+        major = cset[csize > min_cluster_size]
         if len(major) == 0:
             return np.zeros_like(labels)
         centers = np.stack([x[labels == i].mean(0) for i in major])

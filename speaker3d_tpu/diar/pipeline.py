@@ -101,6 +101,7 @@ class DiarizationPipeline:
                  cluster_mer_cos: float = 0.3,
                  cluster_fix_cos_thr: float = 0.3,
                  cluster_min_cluster_size: int = 0,
+                 cluster_min_cluster_ratio: Optional[float] = None,
                  chunk_dur: float = 1.5,
                  chunk_step: float = 0.75,
                  batch_size: int = 64,
@@ -112,7 +113,8 @@ class DiarizationPipeline:
                 sample_rate, threshold=vad_threshold)
         self.cluster = cluster if cluster is not None else CommonClustering(
             "AHC", mer_cos=cluster_mer_cos, fix_cos_thr=cluster_fix_cos_thr,
-            min_cluster_size=cluster_min_cluster_size)
+            min_cluster_size=cluster_min_cluster_size,
+            min_cluster_ratio=cluster_min_cluster_ratio)
         self.speaker_num = speaker_num
         self.no_chunk_after_vad = no_chunk_after_vad
         self.chunk_dur = chunk_dur

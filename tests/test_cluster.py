@@ -109,3 +109,21 @@ def test_spectral_jax_backend_matches_numpy():
     for a, b in zip(lab_jax, lab_np):
         remap.setdefault(a, b)
         assert remap[a] == b
+
+
+def test_min_cluster_ratio_relative_threshold():
+    """Relative minor-cluster threshold scales with N (arXiv:2606.08505):
+    the same ratio absorbs a small cluster that an absolute size misses."""
+    # 3 blobs: 60 + 60 + 8 samples
+    x, y = _blobs(sizes=(60, 60, 8), dim=32, seed=4)
+    # absolute threshold 4 keeps the 8-sample cluster
+    cc_abs = CommonClustering("AHC", min_cluster_size=4)
+    labels = cc_abs(x)
+    assert len(np.unique(labels)) == 3
+    # ratio 0.1 -> effective threshold ceil(12.8) = 13 >= 8: absorbed
+    cc_rel = CommonClustering("AHC", min_cluster_size=4,
+                              min_cluster_ratio=0.1)
+    labels = cc_rel(x)
+    assert len(np.unique(labels)) == 2
+    sizes = [np.sum(labels == i) for i in np.unique(labels)]
+    assert min(sizes) >= 60
