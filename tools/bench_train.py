@@ -1,0 +1,82 @@
+"""Training throughput benchmark: ERes2NetV2 + vocab-parallel AAM, one chip.
+
+Measures audio-seconds/s/chip for the full compiled train step (fbank on
+device, fwd+bwd, SGD) on 3 s crops — the committed, reproducible version of
+the ad-hoc measurement behind docs/BENCH.md's training table.
+
+Timing: the train step donates its state, so sequential dispatches pipeline
+device-side through the tunnel; we time N steps and force completion with a
+final metrics fetch. (The in-jit fori_loop trick used for inference benches
+does not apply: state donation and the dict-of-arrays carry make a scan-of-
+steps a different executable than production uses.)
+
+Usage: python tools/bench_train.py [batch] [dtype]   (default 128 bfloat16)
+Caution: fwd+bwd remote compiles can take ~10 min cold (CLAUDE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+SEG_SECONDS = 3.0
+SAMPLE_RATE = 16000
+NUM_CLASSES = 8000
+STEPS = 10
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+
+    import jax
+
+    from speaker3d_tpu.models.eres2netv2 import ERes2NetV2
+    from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
+    from speaker3d_tpu.parallel.mesh import make_mesh
+    from speaker3d_tpu.train.sv_train import (
+        SVTrainConfig,
+        init_sv_train_state,
+        make_sv_train_step,
+    )
+
+    model = ERes2NetV2(feat_dim=80, embedding_size=192)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    cfg = SVTrainConfig(num_classes=NUM_CLASSES, embedding_size=192,
+                        step_per_epoch=1000, compute_dtype=dtype)
+    fbank = KaldiFbank(FbankConfig(), mean_norm=True)
+
+    seg = int(SEG_SECONDS * SAMPLE_RATE)
+    rng = np.random.default_rng(0)
+    wavs = (rng.standard_normal((batch, seg)) * 0.1).astype(np.float32)
+    labels = rng.integers(0, NUM_CLASSES, size=batch).astype(np.int32)
+
+    feats0 = np.asarray(fbank(wavs[:1]))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), feats0, train=True)
+    state = init_sv_train_state(jax.random.PRNGKey(0), model, feats0, cfg,
+                                mesh, backbone_variables=variables)
+    host_state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    step = make_sv_train_step(model, cfg, mesh, host_state, feature_fn=fbank)
+
+    batch_d = {"wavs": wavs, "labels": labels}
+    state, metrics = step(state, batch_d)           # compile
+    _ = float(metrics["loss"])                      # force
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, batch_d)
+    _ = float(metrics["loss"])                      # fetch = completion
+    elapsed = time.perf_counter() - t0
+
+    value = batch * SEG_SECONDS * STEPS / elapsed
+    print(json.dumps({
+        "metric": "train_throughput",
+        "batch": batch, "dtype": dtype, "steps": STEPS,
+        "value": round(value, 1), "unit": "audio-seconds/s/chip",
+        "utts_per_s": round(batch * STEPS / elapsed, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
