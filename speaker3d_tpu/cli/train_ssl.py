@@ -63,6 +63,10 @@ def main(argv=None):
     parser.add_argument("--config", required=True)
     parser.add_argument("--variant", choices=["rdino", "sdpn"], default="rdino")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a TensorBoard trace of a window of "
+                             "train steps (utils/profiling.py)")
+    parser.add_argument("--profile_steps", type=int, default=5)
     args, overrides = parser.parse_known_args(argv)
     config = build_config(args.config, overrides, copy_to_exp_dir=True)
     exp_dir = config["exp_dir"]
@@ -122,12 +126,20 @@ def main(argv=None):
 
     ckpt = Checkpointer(os.path.join(exp_dir, "models"))
     log_path = os.path.join(exp_dir, "log.txt")
+    from speaker3d_tpu.utils.profiling import StepTracer
+
+    tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
+    global_step = 0
     for epoch in range(cfg.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         metrics_acc = []
         for batch in loader:
+            tracer.before_step(global_step)
             state, metrics = step_fn(state, batch)
+            tracer.after_step(global_step,
+                              wait_for=next(iter(metrics.values())))
+            global_step += 1
             metrics_acc.append({k: float(v) for k, v in metrics.items()})
         if jax.process_index() == 0 and metrics_acc:
             avg = {k: float(np.mean([m[k] for m in metrics_acc]))
@@ -139,6 +151,7 @@ def main(argv=None):
             host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
             ckpt.save_checkpoint(epoch + 1, {"ssl_state": host})
             print(f"epoch {epoch+1}: {avg}")
+    tracer.close()
 
 
 if __name__ == "__main__":
