@@ -42,6 +42,9 @@ def get_args(argv=None):
     p.add_argument("--mode", choices=["chunked", "exact"], default="chunked")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--nprocs", type=int, default=1,
+                   help="local subprocess fan-out (utils/fanout.py); files\n"
+                        "shard rank::nprocs. CPU/multi-device hosts only")
     return p.parse_args(argv)
 
 
@@ -127,9 +130,13 @@ def main(argv=None):
     import jax
 
     from speaker3d_tpu.eval.embedding import build_embedding_fn
-    from speaker3d_tpu.parallel.mesh import process_shard
+    from speaker3d_tpu.parallel.mesh import process_rank, process_shard
 
     args = get_args(argv)
+    from speaker3d_tpu.utils.fanout import maybe_fanout
+
+    if maybe_fanout("speaker3d_tpu.cli.extract", argv, args.nprocs):
+        return
     if args.exp_dir:
         model, variables, _ = build_model_from_exp(args.exp_dir)
     elif args.model_id:
@@ -151,7 +158,7 @@ def main(argv=None):
                               model=model, variables=variables)
     os.makedirs(args.out_dir, exist_ok=True)
     save_embeddings(os.path.join(
-        args.out_dir, f"embeddings_{jax.process_index()}.npz"), embs)
+        args.out_dir, f"embeddings_{process_rank()}.npz"), embs)
     print(f"wrote {len(embs)} embeddings to {args.out_dir}")
 
 

@@ -24,7 +24,7 @@ def main(argv=None):
     from speaker3d_tpu.cli.train_ssl import build_ssl_model
     from speaker3d_tpu.eval.scoring import save_embeddings
     from speaker3d_tpu.ops.melspec import MelSpecConfig, MelSpectrogram
-    from speaker3d_tpu.parallel.mesh import process_shard
+    from speaker3d_tpu.parallel.mesh import process_rank, process_shard
     from speaker3d_tpu.utils.checkpoint import Checkpointer
     from speaker3d_tpu.utils.config import build_config
     from speaker3d_tpu.utils.fileio import load_audio, load_wav_scp
@@ -63,7 +63,7 @@ def main(argv=None):
         out[utt] = np.asarray(embed(wav))
     os.makedirs(args.out_dir, exist_ok=True)
     save_embeddings(os.path.join(
-        args.out_dir, f"embeddings_{jax.process_index()}.npz"), out)
+        args.out_dir, f"embeddings_{process_rank()}.npz"), out)
     print(f"wrote {len(out)} teacher-backbone embeddings")
 
 

@@ -119,33 +119,11 @@ def main(argv=None):
                          "(train one with cli/train_segmentation.py)")
     os.makedirs(args.out_dir, exist_ok=True)
 
-    if args.nprocs > 1 and "SPEAKER3D_PROC_INDEX" not in os.environ:
-        # local fan-out (reference: mp.spawn(main_process, nprocs),
-        # bin/infer_diarization.py:1108): re-exec one subprocess per rank
-        # with the shard identity in the environment; process_shard picks
-        # it up below.
-        import subprocess
-        import sys
+    # local fan-out (reference: mp.spawn(main_process, nprocs),
+    # bin/infer_diarization.py:1108)
+    from speaker3d_tpu.utils.fanout import maybe_fanout
 
-        base_argv = list(argv if argv is not None else sys.argv[1:])
-        for i, tok in enumerate(base_argv):
-            if tok == "--nprocs":
-                del base_argv[i:i + 2]
-                break
-            if tok.startswith("--nprocs="):
-                del base_argv[i]
-                break
-        procs = []
-        for rank in range(args.nprocs):
-            env = dict(os.environ,
-                       SPEAKER3D_PROC_INDEX=str(rank),
-                       SPEAKER3D_PROC_COUNT=str(args.nprocs))
-            procs.append(subprocess.Popen(
-                [sys.executable, "-m", "speaker3d_tpu.cli.infer_diarization"]
-                + base_argv, env=env))
-        codes = [p.wait() for p in procs]
-        if any(codes):
-            raise SystemExit(f"subprocess exit codes: {codes}")
+    if maybe_fanout("speaker3d_tpu.cli.infer_diarization", argv, args.nprocs):
         return
 
     if args.exp_dir:

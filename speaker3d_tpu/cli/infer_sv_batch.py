@@ -30,6 +30,9 @@ def get_args(argv=None):
     p.add_argument("--out_dir", required=True)
     p.add_argument("--out_type", choices=["npy", "npz"], default="npy")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--nprocs", type=int, default=1,
+                   help="local subprocess fan-out (utils/fanout.py); files\n"
+                        "shard rank::nprocs. CPU/multi-device hosts only")
     return p.parse_args(argv)
 
 
@@ -39,9 +42,13 @@ def main(argv=None):
     from speaker3d_tpu.cli.extract import extract_embeddings
     from speaker3d_tpu.cli.infer_diarization import collect_wavs
     from speaker3d_tpu.eval.embedding import build_embedding_fn
-    from speaker3d_tpu.parallel.mesh import process_shard
+    from speaker3d_tpu.parallel.mesh import process_rank, process_shard
 
     args = get_args(argv)
+    from speaker3d_tpu.utils.fanout import maybe_fanout
+
+    if maybe_fanout("speaker3d_tpu.cli.infer_sv_batch", argv, args.nprocs):
+        return
     if args.exp_dir:
         from speaker3d_tpu.cli.extract import build_model_from_exp
 
@@ -79,7 +86,7 @@ def main(argv=None):
         from speaker3d_tpu.eval.scoring import save_embeddings
 
         save_embeddings(os.path.join(
-            args.out_dir, f"embeddings_{jax.process_index()}.npz"), embs)
+            args.out_dir, f"embeddings_{process_rank()}.npz"), embs)
     print(f"extracted {len(embs)} embeddings -> {args.out_dir}")
 
 

@@ -66,6 +66,15 @@ def init_multihost(coordinator_address: Optional[str] = None,
         pass  # single-host run without coordinator configuration
 
 
+def process_rank() -> int:
+    """The shard identity used by process_shard: SPEAKER3D_PROC_INDEX when
+    fan-out set it, else jax.process_index(). Use this (not
+    jax.process_index()) to name per-rank output files."""
+    import os
+
+    return int(os.environ.get("SPEAKER3D_PROC_INDEX", jax.process_index()))
+
+
 def process_shard(items, process_index: Optional[int] = None,
                   process_count: Optional[int] = None):
     """Round-robin shard of a host-side work list by process.

@@ -317,3 +317,26 @@ def test_train_profile_dir(tiny_exp, tmp_path):
         traces += [f for f in files if f.endswith((".trace.json.gz", ".pb",
                                                    ".json.gz", ".xplane.pb"))]
     assert traces, f"no trace files under {prof}"
+
+
+def test_extract_nprocs_fanout(tiny_exp, tmp_path):
+    """extract --nprocs: per-rank archives named by the env shard rank so
+    shards don't overwrite each other (regression: both wrote _0.npz)."""
+    root, config, rows = tiny_exp
+    scp = os.path.join(tmp_path, "wav.scp")
+    with open(scp, "w") as f:
+        for rid, p, _ in rows[:3]:
+            f.write(f"{rid} {p}\n")
+    out_dir = os.path.join(tmp_path, "emb_fan")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [os.sys.executable, "-m", "speaker3d_tpu.cli.extract",
+         "--exp_dir", config["exp_dir"], "--data", scp,
+         "--out_dir", out_dir, "--mode", "exact", "--nprocs", "2"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert sorted(os.listdir(out_dir)) == ["embeddings_0.npz",
+                                           "embeddings_1.npz"]
+    from speaker3d_tpu.eval.scoring import load_embeddings
+
+    assert len(load_embeddings(out_dir)) == 3
