@@ -64,6 +64,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_decay", type=float, default=0.95)
     p.add_argument("--test", action="store_true")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a TensorBoard trace of a window of "
+                        "train steps (utils/profiling.py)")
+    p.add_argument("--profile_steps", type=int, default=5)
     args = p.parse_args(argv)
     os.makedirs(args.exp_dir, exist_ok=True)
 
@@ -94,6 +98,10 @@ def main(argv=None):
     # (frames,) shape compiles once and is reused (AVA has few lengths).
     step = make_asd_train_step(model, cfg, mesh, host)
 
+    from speaker3d_tpu.utils.profiling import StepTracer
+
+    tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
+    global_step = 0
     order = np.arange(len(train_data))
     for epoch in range(args.epochs):
         np.random.default_rng(epoch).shuffle(order)
@@ -103,7 +111,10 @@ def main(argv=None):
             batch = {"audio": a.astype(np.float32),
                      "visual": v.astype(np.float32),
                      "labels": y.astype(np.int32)}
+            tracer.before_step(global_step)
             state, metrics = step(state, batch)
+            tracer.after_step(global_step, wait_for=metrics["loss"])
+            global_step += 1
             losses.append(float(metrics["loss"]))
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
         variables = {"params": host["params"],
@@ -112,6 +123,7 @@ def main(argv=None):
         print(f"epoch {epoch+1}: loss {np.mean(losses):.4f} "
               f"val mAP {100*m_ap:.2f}% ({time.time()-t0:.0f}s)", flush=True)
         ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
+    tracer.close()
 
 
 if __name__ == "__main__":
