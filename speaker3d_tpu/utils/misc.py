@@ -7,7 +7,9 @@ seeding, utt2spk/spk2utt map helpers.
 
 from __future__ import annotations
 
+import contextlib
 import logging
+import os
 import random
 import sys
 from typing import Dict, Optional
@@ -105,3 +107,13 @@ def utt2spk_to_spk2utt(utt2spk: Dict[str, str]) -> Dict[str, list]:
     for utt, spk in utt2spk.items():
         out.setdefault(spk, []).append(utt)
     return out
+
+
+@contextlib.contextmanager
+def silent_print():
+    """Suppress stdout/stderr within the block (the reference wraps noisy
+    third-party model loads with this; reference: utils/utils.py:204)."""
+    with open(os.devnull, "w") as devnull:
+        with contextlib.redirect_stdout(devnull), \
+                contextlib.redirect_stderr(devnull):
+            yield
