@@ -50,8 +50,11 @@ def _events(ref: Sequence[Segment], hyp: Sequence[Segment],
 
 
 def _active(segs: Sequence[Segment], t0: float, t1: float) -> List[str]:
+    """DISTINCT speakers active in (t0, t1) — a speaker with overlapping
+    segments counts once (md-eval tracks per-speaker activity, not
+    per-segment; double-counting inflated FA on same-speaker overlaps)."""
     mid0, mid1 = t0, t1
-    return [spk for st, ed, spk in segs if st < mid1 and ed > mid0]
+    return sorted({spk for st, ed, spk in segs if st < mid1 and ed > mid0})
 
 
 def _no_score_zones(ref: Sequence[Segment], collar: float):
@@ -110,9 +113,21 @@ class DERResult:
 
 
 def compute_der(ref: Sequence[Segment], hyp: Sequence[Segment],
-                collar: float = 0.25, ignore_overlap: bool = False) -> DERResult:
+                collar: float = 0.25, ignore_overlap: bool = False,
+                uem: Optional[Sequence[float]] = None) -> DERResult:
     """DER for one file. ``collar`` is the +/- no-score width in seconds
-    (md-eval -c 0.25 convention)."""
+    (md-eval -c 0.25 convention). ``uem``: (begin, end) evaluation region;
+    by default md-eval derives it from the REFERENCE span
+    (md-eval.pl:658 uem_from_rttm), so hypothesis speech before the first /
+    after the last reference boundary is not scored as false alarm. Pass
+    (-inf, inf) to score everything."""
+    if uem is None:
+        uem = ((min(s for s, _, _ in ref), max(e for _, e, _ in ref))
+               if ref else (0.0, 0.0))
+    hyp = [(max(s, uem[0]), min(e, uem[1]), spk) for s, e, spk in hyp
+           if min(e, uem[1]) - max(s, uem[0]) > 0]
+    ref = [(max(s, uem[0]), min(e, uem[1]), spk) for s, e, spk in ref
+           if min(e, uem[1]) - max(s, uem[0]) > 0]
     zones = _no_score_zones(ref, collar)
     pts = _events(ref, hyp, zones)
 
