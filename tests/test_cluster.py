@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 
 from speaker3d_tpu.diar.cluster import (
@@ -127,3 +129,39 @@ def test_min_cluster_ratio_relative_threshold():
     assert len(np.unique(labels)) == 2
     sizes = [np.sum(labels == i) for i in np.unique(labels)]
     assert min(sizes) >= 60
+
+
+def test_spectral_matches_reference_oracle():
+    """Label-identical to the reference SpectralCluster (torch repo code run
+    directly as oracle; fastcluster/umap/hdbscan stubbed — SpectralCluster
+    doesn't use them)."""
+    import itertools
+    import sys
+    import types
+
+    import pytest
+
+    if not os.path.isdir("/root/reference/speakerlab"):
+        pytest.skip("reference not available")
+    for name in ("fastcluster", "umap", "hdbscan"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.path.insert(0, "/root/reference")
+    try:
+        from speakerlab.process.cluster import SpectralCluster as RefSpectral
+    finally:
+        sys.path.remove("/root/reference")
+    from speaker3d_tpu.diar.cluster import SpectralCluster as OurSpectral
+
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        q, _ = np.linalg.qr(rng.standard_normal((16, 16)))
+        sizes = rng.integers(25, 60, size=int(rng.integers(2, 5)))
+        x = np.concatenate([q[i] + 0.05 * rng.standard_normal((n, 16))
+                            for i, n in enumerate(sizes)])
+        ref = RefSpectral(min_num_spks=1, max_num_spks=10, pval=0.022)(x)
+        ours = OurSpectral(min_num_spks=1, max_num_spks=10, pval=0.022)(x)
+        k_ref, k_ours = len(np.unique(ref)), len(np.unique(ours))
+        assert k_ref == k_ours, (trial, k_ref, k_ours)
+        assert any(
+            np.array_equal(ref, np.asarray([p[l] for l in ours]))
+            for p in itertools.permutations(range(k_ours))), trial
