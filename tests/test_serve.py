@@ -1,0 +1,112 @@
+"""Embedding serving daemon: micro-batching engine + socket protocol
+(new capability — the reference deployment runtime is a one-shot CLI)."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+FS = 16000
+
+
+@pytest.fixture(scope="module")
+def embed_fn():
+    """Deterministic stand-in embedder: per-sample fbank stats -> [D]."""
+    import jax
+
+    from speaker3d_tpu.eval.embedding import build_feature_fn
+
+    feat_fn = build_feature_fn(mean_norm=False)
+
+    @jax.jit
+    def fn(wavs):
+        feats = feat_fn(wavs)
+        return jax.numpy.concatenate(
+            [feats.mean(axis=1), feats.std(axis=1)], axis=-1)
+
+    return fn
+
+
+def test_engine_batching_and_chunk_mean(embed_fn):
+    from speaker3d_tpu.serve import EmbeddingServer
+
+    rng = np.random.default_rng(0)
+    srv = EmbeddingServer(embed_fn, batch_size=4, max_wait_ms=5.0)
+    try:
+        short = (0.1 * rng.standard_normal(3 * FS)).astype(np.float32)
+        long = (0.1 * rng.standard_normal(23 * FS)).astype(np.float32)
+        futs = [srv.submit(short), srv.submit(long), srv.submit(short)]
+        out = [f.result(timeout=120) for f in futs]
+        assert out[0].shape == out[1].shape
+        np.testing.assert_allclose(out[0], out[2], rtol=1e-5, atol=1e-5)
+
+        # chunk-mean semantics match the batch-extraction reference path
+        from speaker3d_tpu.diar.pipeline import circle_pad
+
+        chunk = int(10 * FS)
+        chunks = np.stack([circle_pad(long[s:s + chunk], chunk)
+                           for s in range(0, len(long), chunk)])
+        want = np.asarray(embed_fn(np.concatenate(
+            [chunks, np.zeros((1, chunk), np.float32)]))[: len(chunks)])
+        np.testing.assert_allclose(out[1], want.mean(axis=0),
+                                   rtol=1e-4, atol=1e-4)
+
+        with pytest.raises(Exception):
+            srv.submit(np.zeros(0, np.float32)).result(timeout=5)
+    finally:
+        srv.close()
+
+
+def test_socket_server_end_to_end(embed_fn, tmp_path):
+    from speaker3d_tpu.serve import request_embedding, serve
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    sock = os.path.join(tmp_path, "emb.sock")
+    ready = threading.Event()
+    holder = []
+    t = threading.Thread(
+        target=serve,
+        kwargs=dict(embed_fn=embed_fn, unix_socket=sock, batch_size=4,
+                    max_wait_ms=5.0, ready_event=ready,
+                    server_holder=holder),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=60)
+    try:
+        rng = np.random.default_rng(1)
+        wav = (0.1 * rng.standard_normal(2 * FS)).astype(np.float32)
+        p = os.path.join(tmp_path, "a.wav")
+        write_wav(p, wav, FS)
+
+        e_file = request_embedding(sock, wav_path=p, req_id="f")
+        e_pcm = request_embedding(sock, pcm=wav, req_id="p")
+        assert e_file.shape == e_pcm.shape
+        # int16 round trip perturbs near-empty log-mel bins; cosine is the
+        # right invariant for embeddings
+        cos = float(np.dot(e_file, e_pcm)
+                    / (np.linalg.norm(e_file) * np.linalg.norm(e_pcm)))
+        assert cos > 0.9999, cos
+
+        # errors come back as protocol errors, not dropped connections
+        with pytest.raises(RuntimeError):
+            request_embedding(sock, wav_path="/does/not/exist.wav",
+                              req_id="e")
+
+        # concurrent clients micro-batch into one dispatch
+        results = {}
+
+        def client(k):
+            results[k] = request_embedding(sock, pcm=wav, req_id=str(k))
+
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert len(results) == 4
+        for v in results.values():
+            np.testing.assert_allclose(v, e_pcm, rtol=1e-4, atol=1e-4)
+    finally:
+        holder[0].shutdown()
