@@ -236,3 +236,76 @@ def test_cli_include_overlap_requires_exp(tmp_path):
     with pytest.raises(SystemExit):
         diar_main(["--wav", os.path.join(tmp_path, "x.wav"),
                    "--out_dir", str(tmp_path), "--include_overlap"])
+
+
+def test_cli_trained_vad_plus_overlap(seg_exp, tmp_path):
+    """Full CLI with BOTH in-framework models: --vad_exp_dir (DFSMN VAD)
+    and --include_overlap (FSMN segmenter) on an overlapping mixture."""
+    import yaml
+
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    root, config, f0s = seg_exp
+    # train a tiny DFSMN VAD on the same tone corpus
+    vad_cfg = {
+        "exp_dir": os.path.join(tmp_path, "vad_exp"),
+        "speech": config["speech"],
+        "window_dur": 2.0, "dataset_size": 128, "batch_size": 16,
+        "num_workers": 2, "num_epoch": 10, "max_lr": 0.005,
+        "warmup_epoch": 1, "snr_range": [10.0, 25.0],
+        "model": {"args": {"feat_dim": 80, "hidden_dim": 32, "proj_dim": 16,
+                           "num_layers": 2, "lorder": 10, "rorder": 3}},
+    }
+    vad_cfg_path = os.path.join(tmp_path, "vad_cfg.yaml")
+    with open(vad_cfg_path, "w") as f:
+        yaml.safe_dump(vad_cfg, f)
+    from speaker3d_tpu.cli.train_vad import main as vad_main
+
+    vad_main(["--config", vad_cfg_path])
+
+    # overlap conversation: A alone, A+B, B alone
+    rng = np.random.default_rng(5)
+    a = _speech_like(rng, 3 * FS, 180.0)
+    b = _speech_like(rng, 3 * FS, 900.0)
+    sil = (0.002 * rng.standard_normal(FS)).astype(np.float32)
+    wav = np.concatenate([sil, a, np.zeros(int(1.5 * FS), np.float32), sil])
+    wav[int(2.5 * FS):int(5.5 * FS)] += b
+    wav_path = os.path.join(tmp_path, "conv.wav")
+    write_wav(wav_path, wav, FS)
+
+    # tiny SV exp for embeddings
+    sv_cfg = {
+        "exp_dir": os.path.join(tmp_path, "sv_exp"),
+        "data": config["speech"],
+        "wav_len": 0.5, "speed_pertub": False, "aug_prob": 0.0,
+        "batch_size": 8, "num_workers": 2, "num_epoch": 2,
+        "embedding_size": 16, "max_lr": 0.05, "min_lr": 0.005,
+        "warmup_epoch": 1, "log_batch_freq": 1,
+        "model": {"obj": "speaker3d_tpu.models.xvector.Xvector",
+                  "args": {"feat_dim": 80, "hid_dim": 16, "stats_dim": 32,
+                           "embed_dim": 16}},
+    }
+    sv_cfg_path = os.path.join(tmp_path, "sv_cfg.yaml")
+    with open(sv_cfg_path, "w") as f:
+        yaml.safe_dump(sv_cfg, f)
+    from speaker3d_tpu.cli.train import main as train_main
+
+    train_main(["--config", sv_cfg_path])
+
+    from speaker3d_tpu.cli.infer_diarization import main as diar_main
+
+    out_dir = os.path.join(tmp_path, "out")
+    diar_main(["--wav", wav_path, "--out_dir", out_dir,
+               "--exp_dir", sv_cfg["exp_dir"],
+               "--vad_exp_dir", vad_cfg["exp_dir"],
+               "--include_overlap",
+               "--segmentation_exp_dir", config["exp_dir"],
+               "--speaker_num", "2", "--out_type", "rttm", "--sidecar"])
+    rttm = os.path.join(out_dir, "conv.rttm")
+    assert os.path.isfile(rttm)
+    lines = open(rttm).read().strip().splitlines()
+    assert lines, "empty rttm"
+    # speech was found roughly where the tones are
+    total = sum(float(l.split()[4]) for l in lines)
+    assert 3.0 < total < 9.5, (total, lines)
+    assert os.path.isfile(os.path.join(out_dir, "conv.meta.json"))
