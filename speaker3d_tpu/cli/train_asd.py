@@ -98,8 +98,10 @@ def main(argv=None):
     # (frames,) shape compiles once and is reused (AVA has few lengths).
     step = make_asd_train_step(model, cfg, mesh, host)
 
+    from speaker3d_tpu.utils.preemption import GracefulShutdown
     from speaker3d_tpu.utils.profiling import StepTracer
 
+    shutdown = GracefulShutdown()
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
     order = np.arange(len(train_data))
@@ -116,6 +118,14 @@ def main(argv=None):
             tracer.after_step(global_step, wait_for=metrics["loss"])
             global_step += 1
             losses.append(float(metrics["loss"]))
+            if shutdown.requested:
+                break
+        if shutdown.requested:
+            host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+            d = ckpt.save_checkpoint(epoch, {"asd_state": host})
+            print(f"[preemption] checkpoint saved to {d}; exiting",
+                  flush=True)
+            break
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
         variables = {"params": host["params"],
                      "batch_stats": host["batch_stats"]}
@@ -124,6 +134,7 @@ def main(argv=None):
               f"val mAP {100*m_ap:.2f}% ({time.time()-t0:.0f}s)", flush=True)
         ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
     tracer.close()
+    shutdown.restore()
 
 
 if __name__ == "__main__":

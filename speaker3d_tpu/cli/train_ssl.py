@@ -126,11 +126,25 @@ def main(argv=None):
 
     ckpt = Checkpointer(os.path.join(exp_dir, "models"))
     log_path = os.path.join(exp_dir, "log.txt")
+    # resume (reference: utils/utils_rdino.py restart_from_checkpoint)
+    start_epoch = 0
+    recovered = ckpt.recover_if_possible()
+    if recovered is not None and "ssl_state" in recovered:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        state = jax.device_put(
+            recovered["ssl_state"],
+            jax.tree_util.tree_map(lambda _: rep, host))
+        start_epoch = int(recovered["__meta__"]["epoch"])
+        print(f"recovered from epoch {start_epoch}")
+    from speaker3d_tpu.utils.preemption import GracefulShutdown
     from speaker3d_tpu.utils.profiling import StepTracer
 
+    shutdown = GracefulShutdown()
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         metrics_acc = []
@@ -141,6 +155,17 @@ def main(argv=None):
                               wait_for=next(iter(metrics.values())))
             global_step += 1
             metrics_acc.append({k: float(v) for k, v in metrics.items()})
+            if shutdown.requested:
+                break
+        if shutdown.requested:
+            if jax.process_index() == 0:
+                host = jax.tree_util.tree_map(np.asarray,
+                                              jax.device_get(state))
+                # label = last COMPLETED epoch -> resume redoes this epoch
+                d = ckpt.save_checkpoint(epoch, {"ssl_state": host})
+                print(f"[preemption] checkpoint saved to {d}; exiting",
+                      flush=True)
+            break
         if jax.process_index() == 0 and metrics_acc:
             avg = {k: float(np.mean([m[k] for m in metrics_acc]))
                    for k in metrics_acc[0]}
@@ -152,6 +177,7 @@ def main(argv=None):
             ckpt.save_checkpoint(epoch + 1, {"ssl_state": host})
             print(f"epoch {epoch+1}: {avg}")
     tracer.close()
+    shutdown.restore()
 
 
 if __name__ == "__main__":

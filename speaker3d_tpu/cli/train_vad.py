@@ -121,8 +121,13 @@ def main(argv=None):
 
     logger = EpochLogger(os.path.join(exp_dir, "train_epoch.log"))
     log_every = config.get("log_batch_freq", 10)
+    from speaker3d_tpu.utils.preemption import (
+        GracefulShutdown,
+        save_preemption_checkpoint,
+    )
     from speaker3d_tpu.utils.profiling import StepTracer
 
+    shutdown = GracefulShutdown()
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
     for epoch in epoch_counter:
@@ -134,12 +139,22 @@ def main(argv=None):
             state, metrics = train_step(state, batch)
             tracer.after_step(global_step, wait_for=metrics["loss"])
             global_step += 1
+            if shutdown.requested:
+                break
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
             if (i + 1) % log_every == 0:
                 print(f"epoch {epoch} step {i+1}/{step_per_epoch} "
                       f"loss {losses[-1]:.4f} acc {accs[-1]:.3f} "
                       f"lr {float(metrics['lr']):.6f}", flush=True)
+        if shutdown.requested:
+            if jax.process_index() == 0:
+                host = jax.tree_util.tree_map(np.asarray,
+                                              jax.device_get(state))
+                save_preemption_checkpoint(
+                    checkpointer, epoch_counter, epoch,
+                    {"train_state": host})
+            break
         if jax.process_index() == 0:
             logger.log_stats(
                 {"epoch": epoch, "time_s": round(time.time() - t0, 1)},
@@ -148,6 +163,7 @@ def main(argv=None):
             host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
             checkpointer.save_checkpoint(epoch, {"train_state": host})
     tracer.close()
+    shutdown.restore()
 
 
 if __name__ == "__main__":
