@@ -76,8 +76,19 @@ def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
     if mode == "chunked":
         chunk = int(CHUNK_SECONDS * sample_rate)
         max_len = int(MAX_SECONDS * sample_rate)
-        pending: list = []  # (utt, n_chunks accumulated)
         buf = []
+        # Double-buffered dispatch: the device result of batch k is fetched
+        # only AFTER batch k+1 is dispatched, so host decode/pack and the
+        # O(100 ms) tunnel dispatch latency overlap device compute (jax
+        # dispatch is async; np.asarray is the synchronization point).
+        in_flight = []  # [(entries, device_result)]
+
+        def drain(limit):
+            while len(in_flight) > limit:
+                entries, dev = in_flight.pop(0)
+                embs = np.asarray(dev)[: len(entries)]
+                for (utt, _), e in zip(entries, embs):
+                    out.setdefault(utt, []).append(e)
 
         def flush():
             if not buf:
@@ -87,10 +98,9 @@ def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
             if n < batch_size:
                 wavs = np.concatenate(
                     [wavs, np.zeros((batch_size - n, chunk), np.float32)])
-            embs = np.asarray(embed_fn(wavs))[:n]
-            for (utt, _), e in zip(buf, embs):
-                out.setdefault(utt, []).append(e)
+            in_flight.append((list(buf), embed_fn(wavs)))
             buf.clear()
+            drain(limit=1)
 
         for utt, path in wav_scp.items():
             wav = load_audio(path, obj_fs=sample_rate)[0][:max_len]
@@ -104,6 +114,7 @@ def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
                 if len(buf) == batch_size:
                     flush()
         flush()
+        drain(limit=0)
         return {utt: np.mean(np.stack(es), axis=0) for utt, es in out.items()}
 
     # exact mode: full-utterance embedding, compile per distinct length
