@@ -173,14 +173,19 @@ class DiarizationPipeline:
 
         out = []
         bs = self.batch_size
+        in_flight = []  # double-buffered async dispatch (see cli/extract.py)
         for s in range(0, len(wavs), bs):
             batch = wavs[s:s + bs]
             n = batch.shape[0]
             if n < bs:  # pad to the static batch size, drop extras after
                 batch = np.concatenate(
                     [batch, np.zeros((bs - n, L), np.float32)], axis=0)
-            emb = np.asarray(self.embed_fn(batch))[:n]
-            out.append(emb)
+            in_flight.append((n, self.embed_fn(batch)))
+            if len(in_flight) > 1:
+                k, dev = in_flight.pop(0)
+                out.append(np.asarray(dev)[:k])
+        for k, dev in in_flight:
+            out.append(np.asarray(dev)[:k])
         return np.concatenate(out, axis=0)
 
     def do_clustering(self, chunks, embeddings, speaker_num=None):
