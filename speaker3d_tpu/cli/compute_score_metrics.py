@@ -30,6 +30,9 @@ def get_args(argv=None):
     p.add_argument("--p_target", default=0.01, type=float)
     p.add_argument("--c_miss", default=1.0, type=float)
     p.add_argument("--c_fa", default=1.0, type=float)
+    p.add_argument("--det_plot", action="store_true",
+                   help="also write a normal-deviate DET curve per trial "
+                        "(reference: utils/score_metrics.py plot_det_curve)")
     return p.parse_args(argv)
 
 
@@ -79,6 +82,11 @@ def main(argv=None):
             plt.grid(True)
             plt.savefig(os.path.join(args.scores_dir, f"{name}_eer_curves.png"))
             plt.close()
+            if args.det_plot:
+                from speaker3d_tpu.utils.metrics import plot_det_curve
+
+                plot_det_curve(fnr, fpr, os.path.join(
+                    args.scores_dir, f"{name}_det_curve.png"))
         except Exception:
             pass
 
