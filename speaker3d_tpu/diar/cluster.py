@@ -185,6 +185,13 @@ class UmapHdbscan:
                 import hdbscan
                 import umap
 
+                # A module named `umap`/`hdbscan` may be importable without
+                # being umap-learn/hdbscan (namespace collisions, stubs);
+                # require the actual entry points before committing.
+                if not (hasattr(umap, "UMAP") and hasattr(hdbscan, "HDBSCAN")):
+                    raise ImportError(
+                        "umap/hdbscan modules lack UMAP/HDBSCAN classes "
+                        "(not umap-learn/hdbscan)")
                 umap_x = umap.UMAP(
                     n_neighbors=self.n_neighbors, min_dist=0.0,
                     n_components=n_components,

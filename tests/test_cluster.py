@@ -143,13 +143,17 @@ def test_spectral_matches_reference_oracle():
 
     if not os.path.isdir("/root/reference/speakerlab"):
         pytest.skip("reference not available")
-    for name in ("fastcluster", "umap", "hdbscan"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+    stubbed = [name for name in ("fastcluster", "umap", "hdbscan")
+               if name not in sys.modules]
+    for name in stubbed:
+        sys.modules[name] = types.ModuleType(name)
     sys.path.insert(0, "/root/reference")
     try:
         from speakerlab.process.cluster import SpectralCluster as RefSpectral
     finally:
         sys.path.remove("/root/reference")
+        for name in stubbed:  # don't leak stubs into later tests
+            sys.modules.pop(name, None)
     from speaker3d_tpu.diar.cluster import SpectralCluster as OurSpectral
 
     rng = np.random.default_rng(0)
