@@ -190,9 +190,16 @@ class CAMPPlus(nn.Module):
     bn_size: int = 4
     init_channels: int = 128
     config_str: str = "batchnorm-relu"
+    # The reference's memory_efficient flag (DTDNN.py:50, torch checkpointing
+    # at layers.py:144-145): rematerialize each dense layer in the backward
+    # pass instead of storing its interior activations. nn.remat keeps
+    # parameter paths identical, so checkpoints are interchangeable.
+    memory_efficient: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dense_cls = (nn.remat(CAMDenseTDNNLayer, static_argnums=(2,))
+                     if self.memory_efficient else CAMDenseTDNNLayer)
         x = FCM(feat_dim=self.feat_dim, name="head")(x, train)
         x = TDNNLayer(self.init_channels, 5, stride=2,
                       config_str=self.config_str, name="xvector.tdnn")(x, train)
@@ -200,7 +207,7 @@ class CAMPPlus(nn.Module):
         for i, (num_layers, kernel_size, dilation) in enumerate(
                 zip((12, 24, 16), (3, 3, 3), (1, 2, 2)), start=1):
             for j in range(1, num_layers + 1):
-                y = CAMDenseTDNNLayer(
+                y = dense_cls(
                     bn_channels=self.bn_size * self.growth_rate,
                     out_channels=self.growth_rate,
                     kernel_size=kernel_size, dilation=dilation,

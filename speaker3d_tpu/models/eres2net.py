@@ -40,6 +40,9 @@ class ERes2Net(nn.Module):
     expansion: int = 2
     pooling_func: str = "TSTP"
     two_emb_layer: bool = False
+    # per-block activation rematerialization (see eres2netv2.py: a whole-
+    # backbone jax.checkpoint does not reduce peak HBM; per-block does)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -50,12 +53,14 @@ class ERes2Net(nn.Module):
         out = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(out))
 
         in_planes = m
+        block_cls = (nn.remat(BasicBlockERes2NetV2, static_argnums=(2,))
+                     if self.remat else BasicBlockERes2NetV2)
 
         def stage(out, idx, planes, blocks, stride, use_aff):
             nonlocal in_planes
             strides = [stride] + [1] * (blocks - 1)
             for bi, s in enumerate(strides):
-                out = BasicBlockERes2NetV2(
+                out = block_cls(
                     in_planes=in_planes, planes=planes, stride=s,
                     base_width=self.base_width, scale=self.scale,
                     expansion=exp, use_aff=use_aff,

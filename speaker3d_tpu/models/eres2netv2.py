@@ -125,6 +125,14 @@ class ERes2NetV2(nn.Module):
     expansion: int = 2
     pooling_func: str = "TSTP"
     two_emb_layer: bool = False
+    # Per-block activation rematerialization for training: backward
+    # recomputes one block at a time, so peak HBM holds only the block
+    # boundaries instead of every interior activation. A single
+    # jax.checkpoint around the whole backbone does NOT reduce peak (the
+    # rematted forward is entirely live during the backward; measured in
+    # docs/BENCH.md). nn.remat on the block class keeps parameter paths
+    # identical, so checkpoints are interchangeable with remat=False.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -136,11 +144,14 @@ class ERes2NetV2(nn.Module):
 
         in_planes = self.m_channels
 
+        block_cls = (nn.remat(BasicBlockERes2NetV2, static_argnums=(2,))
+                     if self.remat else BasicBlockERes2NetV2)
+
         def stage(out, idx, planes, blocks, stride, use_aff):
             nonlocal in_planes
             strides = [stride] + [1] * (blocks - 1)
             for bi, s in enumerate(strides):
-                out = BasicBlockERes2NetV2(
+                out = block_cls(
                     in_planes=in_planes, planes=planes, stride=s,
                     base_width=self.base_width, scale=self.scale,
                     expansion=self.expansion, use_aff=use_aff,

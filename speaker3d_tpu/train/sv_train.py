@@ -59,8 +59,14 @@ class SVTrainConfig(NamedTuple):
     # loss
     scale: float = 32.0
     easy_margin: bool = False
-    # memory: rematerialize the backbone forward in the backward pass
-    # (jax.checkpoint) — trades ~1 extra forward for not storing activations
+    # memory: rematerialize the backbone forward in the backward pass.
+    # Models exposing a `remat` field (e.g. ERes2NetV2) get PER-BLOCK
+    # rematerialization — the backward recomputes one residual block at a
+    # time, so peak HBM holds only block boundaries (this is what actually
+    # reduces peak; a whole-backbone jax.checkpoint re-materializes the
+    # full forward live during the backward and saves almost nothing —
+    # measured in docs/BENCH.md). Other models fall back to the
+    # whole-backbone jax.checkpoint.
     remat: bool = False
     # mixed precision: run the backbone fwd/bwd in bfloat16 (master params,
     # classifier, loss and optimizer stay float32)
@@ -135,6 +141,17 @@ def make_sv_train_step(model, cfg: SVTrainConfig, mesh: Mesh,
     c_pad = _padded_classes(cfg.num_classes, n_model)
     c_local = c_pad // n_model
 
+    remat_whole = cfg.remat
+    if cfg.remat:
+        # per-block remat: same parameter paths, far lower peak HBM than a
+        # whole-backbone jax.checkpoint (which saves ~nothing; docs/BENCH.md)
+        for field in ("remat", "memory_efficient"):
+            if hasattr(model, field):
+                if getattr(model, field) is False:
+                    model = model.clone(**{field: True})
+                remat_whole = False
+                break
+
     specs = state_specs(state_example)
     batch_key = "wavs" if feature_fn is not None else "feats"
     batch_specs = {batch_key: P("data"), "labels": P("data")}
@@ -175,7 +192,7 @@ def make_sv_train_step(model, cfg: SVTrainConfig, mesh: Mesh,
                     mutated["batch_stats"])}
             return out, mutated
 
-        if cfg.remat:
+        if remat_whole:
             backbone_fwd = jax.checkpoint(backbone_fwd)
 
         def loss_fn(trainable):

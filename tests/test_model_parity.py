@@ -126,3 +126,37 @@ def test_cosine_classifier_parity():
     tm = TorchCosine(192, num_blocks=0, out_neurons=100)
     x = np.random.default_rng(1).standard_normal((4, 192)).astype(np.float32)
     _convert_and_compare(tm, CosineClassifier(192, out_neurons=100), x)
+
+
+def test_remat_options_preserve_params_and_outputs():
+    """Per-block/per-layer remat options (ERes2NetV2.remat, ERes2Net.remat,
+    CAMPPlus.memory_efficient — the reference's torch-checkpointing flag,
+    models/campplus/DTDNN.py:50) must not change parameter paths or
+    forward outputs."""
+    import jax
+
+    from speaker3d_tpu.models.campplus import CAMPPlus
+    from speaker3d_tpu.models.eres2net import ERes2Net
+    from speaker3d_tpu.models.eres2netv2 import ERes2NetV2
+
+    x = np.random.default_rng(0).standard_normal((2, 40, 24)).astype(
+        np.float32)
+    cases = [
+        (ERes2NetV2(num_blocks=(1, 1, 1, 1), m_channels=8, feat_dim=24,
+                    embedding_size=16), "remat"),
+        (ERes2Net(num_blocks=(1, 1, 1, 1), m_channels=8, feat_dim=24,
+                  embedding_size=16), "remat"),
+        (CAMPPlus(feat_dim=24, embedding_size=16, growth_rate=4,
+                  init_channels=8), "memory_efficient"),
+    ]
+    for base, field in cases:
+        opt = base.clone(**{field: True})
+        va = base.init(jax.random.PRNGKey(0), x)
+        vb = opt.init(jax.random.PRNGKey(0), x)
+        pa = jax.tree_util.tree_flatten_with_path(va)[0]
+        pb = jax.tree_util.tree_flatten_with_path(vb)[0]
+        assert [str(k) for k, _ in pa] == [str(k) for k, _ in pb], type(base)
+        ya = np.asarray(base.apply(va, x))
+        yb = np.asarray(opt.apply(vb, x))
+        np.testing.assert_allclose(ya, yb, atol=1e-5, rtol=1e-5,
+                                   err_msg=str(type(base)))

@@ -10,7 +10,10 @@ final metrics fetch. (The in-jit fori_loop trick used for inference benches
 does not apply: state donation and the dict-of-arrays carry make a scan-of-
 steps a different executable than production uses.)
 
-Usage: python tools/bench_train.py [batch] [dtype]   (default 128 bfloat16)
+Usage: python tools/bench_train.py [batch] [dtype] [remat]
+       (default 128 bfloat16; pass "remat" to checkpoint the backbone —
+       required for batch > 128: B=256 bf16 fwd+bwd needs 29.6 GB of HBM
+       without it, 13.9 GB over the chip)
 Caution: fwd+bwd remote compiles can take ~10 min cold (CLAUDE.md).
 """
 
@@ -29,6 +32,7 @@ STEPS = 10
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
 
     import jax
 
@@ -44,7 +48,8 @@ def main():
     model = ERes2NetV2(feat_dim=80, embedding_size=192)
     mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
     cfg = SVTrainConfig(num_classes=NUM_CLASSES, embedding_size=192,
-                        step_per_epoch=1000, compute_dtype=dtype)
+                        step_per_epoch=1000, compute_dtype=dtype,
+                        remat=remat)
     fbank = KaldiFbank(FbankConfig(), mean_norm=True)
 
     seg = int(SEG_SECONDS * SAMPLE_RATE)
@@ -72,7 +77,7 @@ def main():
     value = batch * SEG_SECONDS * STEPS / elapsed
     print(json.dumps({
         "metric": "train_throughput",
-        "batch": batch, "dtype": dtype, "steps": STEPS,
+        "batch": batch, "dtype": dtype, "remat": remat, "steps": STEPS,
         "value": round(value, 1), "unit": "audio-seconds/s/chip",
         "utts_per_s": round(batch * STEPS / elapsed, 1),
     }))
