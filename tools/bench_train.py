@@ -10,10 +10,11 @@ final metrics fetch. (The in-jit fori_loop trick used for inference benches
 does not apply: state donation and the dict-of-arrays carry make a scan-of-
 steps a different executable than production uses.)
 
-Usage: python tools/bench_train.py [batch] [dtype] [remat]
-       (default 128 bfloat16; pass "remat" to checkpoint the backbone —
-       required for batch > 128: B=256 bf16 fwd+bwd needs 29.6 GB of HBM
-       without it, 13.9 GB over the chip)
+Usage: python tools/bench_train.py [batch] [dtype] [remat] [model]
+       (default 128 bfloat16 eres2netv2; pass "remat" (or "-") as the 3rd
+       arg to enable per-block rematerialization — required for
+       batch > 128: B=256 bf16 fwd+bwd needs 29.6 GB of HBM without it,
+       13.9 GB over the chip. model: any tools/bench_serving.py name.)
 Caution: fwd+bwd remote compiles can take ~10 min cold (CLAUDE.md).
 """
 
@@ -33,10 +34,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
     remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+    model_name = sys.argv[4] if len(sys.argv) > 4 else "eres2netv2"
 
     import jax
 
-    from speaker3d_tpu.models.eres2netv2 import ERes2NetV2
     from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
     from speaker3d_tpu.parallel.mesh import make_mesh
     from speaker3d_tpu.train.sv_train import (
@@ -44,10 +45,14 @@ def main():
         init_sv_train_state,
         make_sv_train_step,
     )
+    from tools.bench_serving import build_model
 
-    model = ERes2NetV2(feat_dim=80, embedding_size=192)
+    model = build_model(model_name)
+    emb_dim = getattr(model, "embedding_size",
+                      getattr(model, "lin_neurons",
+                              getattr(model, "embed_dim", 192)))
     mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
-    cfg = SVTrainConfig(num_classes=NUM_CLASSES, embedding_size=192,
+    cfg = SVTrainConfig(num_classes=NUM_CLASSES, embedding_size=emb_dim,
                         step_per_epoch=1000, compute_dtype=dtype,
                         remat=remat)
     fbank = KaldiFbank(FbankConfig(), mean_norm=True)
@@ -76,7 +81,7 @@ def main():
 
     value = batch * SEG_SECONDS * STEPS / elapsed
     print(json.dumps({
-        "metric": "train_throughput",
+        "metric": "train_throughput", "model": model_name,
         "batch": batch, "dtype": dtype, "remat": remat, "steps": STEPS,
         "value": round(value, 1), "unit": "audio-seconds/s/chip",
         "utts_per_s": round(batch * STEPS / elapsed, 1),

@@ -12,7 +12,8 @@ O(100 ms)).
 
 Run from /root/repo (cwd must supply the import path — no PYTHONPATH on
 TPU runs, see CLAUDE.md):
-    python -c "exec(open('tools/bench_train_split.py').read())" [batch] [remat]
+    python -c "exec(open('tools/bench_train_split.py').read())" \
+        [batch] [remat|-] [model]
 """
 
 import json
@@ -30,15 +31,20 @@ ITERS = 10
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
+    model_name = sys.argv[3] if len(sys.argv) > 3 else "eres2netv2"
 
     import jax
     import jax.numpy as jnp
 
-    from speaker3d_tpu.models.eres2netv2 import ERes2NetV2
     from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
     from speaker3d_tpu.train.losses import arc_margin_loss
+    from tools.bench_serving import build_model
 
-    model = ERes2NetV2(feat_dim=80, embedding_size=192, remat=remat)
+    model = build_model(model_name)
+    for field in ("remat", "memory_efficient"):
+        if remat and hasattr(model, field):
+            model = model.clone(**{field: True})
+            break
     fbank = KaldiFbank(FbankConfig(), mean_norm=True)
 
     seg = int(SEG_SECONDS * SAMPLE_RATE)
@@ -51,8 +57,11 @@ def main():
     feats0 = np.asarray(fbank(wavs[:1]))
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), feats0, train=True)
+    emb_dim = getattr(model, "embedding_size",
+                      getattr(model, "lin_neurons",
+                              getattr(model, "embed_dim", 192)))
     cls_w = jax.device_put(
-        (np.random.default_rng(1).standard_normal((NUM_CLASSES, 192))
+        (np.random.default_rng(1).standard_normal((NUM_CLASSES, emb_dim))
          * 0.01).astype(np.float32))
     bb_params = variables["params"]
     batch_stats = variables["batch_stats"]
@@ -99,11 +108,13 @@ def main():
         return batch * SEG_SECONDS * ITERS / elapsed, compile_s
 
     fwd, c1 = bench("fwd")
-    print(json.dumps({"phase": "fwd_only", "batch": batch, "remat": remat,
+    print(json.dumps({"phase": "fwd_only", "model": model_name,
+                      "batch": batch, "remat": remat,
                       "audio_s_per_s": round(fwd, 1),
                       "compile_s": round(c1, 1)}), flush=True)
     full, c2 = bench("grad")
-    print(json.dumps({"phase": "fwd_bwd", "batch": batch, "remat": remat,
+    print(json.dumps({"phase": "fwd_bwd", "model": model_name,
+                      "batch": batch, "remat": remat,
                       "audio_s_per_s": round(full, 1),
                       "compile_s": round(c2, 1),
                       "bwd_over_fwd": round(fwd / full - 1.0, 2)}),
