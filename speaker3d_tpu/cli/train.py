@@ -182,15 +182,12 @@ def main(argv=None):
     shutdown = GracefulShutdown()
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
-    from jax.sharding import NamedSharding, PartitionSpec
     from speaker3d_tpu.data.prefetch import device_prefetch
-
-    batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
     for epoch in epoch_counter:
         loader.set_epoch(epoch)
         t0 = time.time()
         losses, accs = [], []
-        for i, batch in enumerate(device_prefetch(loader, batch_sharding)):
+        for i, batch in enumerate(device_prefetch(loader, mesh=mesh)):
             tracer.before_step(global_step)
             state, metrics = train_step(state, batch)
             tracer.after_step(global_step, wait_for=metrics["loss"])

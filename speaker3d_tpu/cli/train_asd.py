@@ -104,15 +104,21 @@ def main(argv=None):
     shutdown = GracefulShutdown()
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
+    from speaker3d_tpu.data.prefetch import device_prefetch
+
     order = np.arange(len(train_data))
+
+    def host_batches():
+        for bi in order:
+            a, v, y = train_data[int(bi)]
+            yield {"audio": a.astype(np.float32),
+                   "visual": v.astype(np.float32),
+                   "labels": y.astype(np.int32)}
+
     for epoch in range(args.epochs):
         np.random.default_rng(epoch).shuffle(order)
         t0, losses = time.time(), []
-        for bi in order:
-            a, v, y = train_data[int(bi)]
-            batch = {"audio": a.astype(np.float32),
-                     "visual": v.astype(np.float32),
-                     "labels": y.astype(np.int32)}
+        for batch in device_prefetch(host_batches(), mesh=mesh):
             tracer.before_step(global_step)
             state, metrics = step(state, batch)
             tracer.after_step(global_step, wait_for=metrics["loss"])

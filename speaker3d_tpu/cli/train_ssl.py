@@ -144,15 +144,12 @@ def main(argv=None):
     shutdown = GracefulShutdown()
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
-    from jax.sharding import NamedSharding, PartitionSpec
     from speaker3d_tpu.data.prefetch import device_prefetch
-
-    batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
     for epoch in range(start_epoch, cfg.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         metrics_acc = []
-        for batch in device_prefetch(loader, batch_sharding):
+        for batch in device_prefetch(loader, mesh=mesh):
             tracer.before_step(global_step)
             state, metrics = step_fn(state, batch)
             tracer.after_step(global_step,

@@ -1,12 +1,15 @@
-"""Device-side batch prefetch: overlap host->device transfer with compute.
+"""Device-side batch prefetch: overlap host batch assembly AND the
+host->device copy with device compute.
 
 The host input pipeline (data/dataset.py BatchLoader) already overlaps
-decode/augment with the train step via worker threads, but the batch still
-crosses to the device at dispatch time, serial with the previous step's
-compute. `device_prefetch` moves that transfer off the critical path: a
-single background thread `jax.device_put`s upcoming batches (to the given
-sharding) while the device is busy, so step N+1's data is resident when
-step N finishes.
+decode/augment with the train step via worker threads, but two costs were
+still serial with compute on the consumer thread: pulling the next batch
+out of the loader (host assembly latency when the loader queue is empty)
+and the device transfer at dispatch time. `device_prefetch` moves both off
+the critical path: a single background thread owns the iterator — it pulls
+batches and `jax.device_put`s them (to the given sharding) into a bounded
+queue while the device is busy, so step N+1's data is resident when step N
+finishes.
 
 This matters most when transfer is slow relative to the step (measured in
 docs/BENCH.md: on the tunneled-TPU harness a 49 MB wav batch costs ~1 s to
@@ -18,48 +21,68 @@ unless a second CUDA stream is used — speakerlab/bin/train.py:141).
 
 from __future__ import annotations
 
-import collections
-import concurrent.futures
+import queue
+import threading
 from typing import Iterable, Iterator, Optional
 
 
-def device_prefetch(iterator: Iterable, sharding=None,
-                    depth: int = 2) -> Iterator:
+def device_prefetch(iterator: Iterable, sharding=None, depth: int = 2,
+                    mesh=None) -> Iterator:
     """Yield batches from `iterator` as device-resident arrays, keeping up
-    to `depth` batches in flight on a background transfer thread.
+    to `depth` batches in flight on a background assembly+transfer thread.
 
-    ``sharding``: optional jax sharding (e.g. ``NamedSharding(mesh,
-    P('data'))``) applied to every leaf; None puts on the default device.
-    Safe with early termination (break/preemption): the transfer thread is
-    released when the generator is closed.
+    ``sharding``: optional jax sharding applied to every leaf; None puts on
+    the default device. ``mesh``: convenience — builds
+    ``NamedSharding(mesh, P('data'))`` (the batch-axis sharding every
+    trainer here uses) when ``sharding`` is not given.
+    Iterator exceptions propagate to the consumer. Safe with early
+    termination (break/preemption): the thread is signalled to stop when
+    the generator is closed.
     """
     import jax
 
-    def put(batch):
-        if sharding is not None:
-            return jax.device_put(batch, sharding)
-        return jax.device_put(batch)
+    if sharding is None and mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
 
-    it = iter(iterator)
-    pool = concurrent.futures.ThreadPoolExecutor(
-        max_workers=1, thread_name_prefix="device_prefetch")
-    futures: collections.deque = collections.deque()
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    end = object()
+    error: list = [None]
 
-    def submit_next() -> bool:
+    def _put(item) -> bool:
+        """Blocking put that aborts when the consumer went away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
         try:
-            batch = next(it)
-        except StopIteration:
-            return False
-        futures.append(pool.submit(put, batch))
-        return True
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                if not _put(batch):
+                    return
+        except BaseException as e:  # propagate loader errors to consumer
+            error[0] = e
+        _put(end)
 
+    thread = threading.Thread(target=worker, daemon=True,
+                              name="device_prefetch")
+    thread.start()
     try:
-        for _ in range(max(1, depth)):
-            if not submit_next():
-                break
-        while futures:
-            out = futures.popleft().result()
-            submit_next()
-            yield out
+        while True:
+            item = q.get()
+            if item is end:
+                if error[0] is not None:
+                    raise error[0]
+                return
+            yield item
     finally:
-        pool.shutdown(wait=False, cancel_futures=True)
+        stop.set()

@@ -44,3 +44,14 @@ def test_early_break_releases_thread():
 def test_short_iterator_and_empty():
     assert len(list(device_prefetch(_batches(1), depth=4))) == 1
     assert list(device_prefetch(_batches(0), depth=2)) == []
+
+
+def test_iterator_error_propagates():
+    def bad():
+        yield {"x": np.zeros(3, np.float32)}
+        raise RuntimeError("loader died")
+
+    gen = device_prefetch(bad(), depth=2)
+    next(gen)
+    with pytest.raises(RuntimeError, match="loader died"):
+        next(gen)

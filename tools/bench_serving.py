@@ -56,6 +56,14 @@ def build_model(name):
     raise SystemExit(f"unknown model {name!r}")
 
 
+def embed_dim(model, default: int = 192) -> int:
+    """Embedding width across the backbone zoo's differing field names."""
+    for field in ("embedding_size", "lin_neurons", "embed_dim"):
+        if hasattr(model, field):
+            return getattr(model, field)
+    return default
+
+
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "eres2netv2"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -102,4 +110,5 @@ def main():
     }))
 
 
-main()
+if __name__ == "__main__":  # exec(open(...)) in `python -c` hits this too
+    main()

@@ -45,12 +45,10 @@ def main():
         init_sv_train_state,
         make_sv_train_step,
     )
-    from tools.bench_serving import build_model
+    from tools.bench_serving import build_model, embed_dim
 
     model = build_model(model_name)
-    emb_dim = getattr(model, "embedding_size",
-                      getattr(model, "lin_neurons",
-                              getattr(model, "embed_dim", 192)))
+    emb_dim = embed_dim(model)
     mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
     cfg = SVTrainConfig(num_classes=NUM_CLASSES, embedding_size=emb_dim,
                         step_per_epoch=1000, compute_dtype=dtype,

@@ -38,7 +38,7 @@ def main():
 
     from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
     from speaker3d_tpu.train.losses import arc_margin_loss
-    from tools.bench_serving import build_model
+    from tools.bench_serving import build_model, embed_dim
 
     model = build_model(model_name)
     for field in ("remat", "memory_efficient"):
@@ -57,9 +57,7 @@ def main():
     feats0 = np.asarray(fbank(wavs[:1]))
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), feats0, train=True)
-    emb_dim = getattr(model, "embedding_size",
-                      getattr(model, "lin_neurons",
-                              getattr(model, "embed_dim", 192)))
+    emb_dim = embed_dim(model)
     cls_w = jax.device_put(
         (np.random.default_rng(1).standard_normal((NUM_CLASSES, emb_dim))
          * 0.01).astype(np.float32))
@@ -121,4 +119,5 @@ def main():
           flush=True)
 
 
-main()
+if __name__ == "__main__":  # exec(open(...)) in `python -c` hits this too
+    main()
