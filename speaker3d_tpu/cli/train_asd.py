@@ -123,7 +123,8 @@ def main(argv=None):
             state, metrics = step(state, batch)
             tracer.after_step(global_step, wait_for=metrics["loss"])
             global_step += 1
-            losses.append(float(metrics["loss"]))
+            # keep the device scalar; per-step float() would sync the pipe
+            losses.append(metrics["loss"])
             if shutdown.requested:
                 break
         if shutdown.requested:
@@ -136,7 +137,7 @@ def main(argv=None):
         variables = {"params": host["params"],
                      "batch_stats": host["batch_stats"]}
         m_ap = evaluate(model, variables, val_data, limit=200)
-        print(f"epoch {epoch+1}: loss {np.mean(losses):.4f} "
+        print(f"epoch {epoch+1}: loss {np.mean([float(x) for x in losses]):.4f} "
               f"val mAP {100*m_ap:.2f}% ({time.time()-t0:.0f}s)", flush=True)
         ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
     tracer.close()

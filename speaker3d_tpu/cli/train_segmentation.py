@@ -147,11 +147,13 @@ def main(argv=None):
             global_step += 1
             if shutdown.requested:
                 break
-            losses.append(float(metrics["loss"]))
-            accs.append(float(metrics["acc"]))
+            # keep device scalars; fetching floats every step would sync
+            # the pipeline per step — convert only at log points
+            losses.append(metrics["loss"])
+            accs.append(metrics["acc"])
             if (i + 1) % log_every == 0:
                 print(f"epoch {epoch} step {i+1}/{step_per_epoch} "
-                      f"loss {losses[-1]:.4f} acc {accs[-1]:.3f} "
+                      f"loss {float(losses[-1]):.4f} acc {float(accs[-1]):.3f} "
                       f"lr {float(metrics['lr']):.6f}", flush=True)
         if shutdown.requested:
             if jax.process_index() == 0:
@@ -164,8 +166,10 @@ def main(argv=None):
         if jax.process_index() == 0:
             logger.log_stats(
                 {"epoch": epoch, "time_s": round(time.time() - t0, 1)},
-                {"avg_loss": float(np.mean(losses)) if losses else None,
-                 "avg_acc": float(np.mean(accs)) if accs else None})
+                {"avg_loss": float(np.mean([float(x) for x in losses]))
+                 if losses else None,
+                 "avg_acc": float(np.mean([float(x) for x in accs]))
+                 if accs else None})
             host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
             checkpointer.save_checkpoint(epoch, {"train_state": host})
     tracer.close()

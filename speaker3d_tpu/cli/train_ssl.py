@@ -155,7 +155,8 @@ def main(argv=None):
             tracer.after_step(global_step,
                               wait_for=next(iter(metrics.values())))
             global_step += 1
-            metrics_acc.append({k: float(v) for k, v in metrics.items()})
+            # keep device scalars; per-step float() would sync the pipeline
+            metrics_acc.append(metrics)
             if shutdown.requested:
                 break
         if shutdown.requested:
@@ -168,7 +169,7 @@ def main(argv=None):
                       flush=True)
             break
         if jax.process_index() == 0 and metrics_acc:
-            avg = {k: float(np.mean([m[k] for m in metrics_acc]))
+            avg = {k: float(np.mean([float(m[k]) for m in metrics_acc]))
                    for k in metrics_acc[0]}
             with open(log_path, "a") as f:
                 f.write(json.dumps({"epoch": epoch, **avg,
