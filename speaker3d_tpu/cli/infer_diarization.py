@@ -65,6 +65,13 @@ def get_args(argv=None):
                         "matches the recipe path conf/diar.yaml; "
                         "'umap_hdbscan' uses the in-repo native UMAP+HDBSCAN "
                         "when the external libs are absent)")
+    p.add_argument("--cluster_backend", default="numpy",
+                   choices=["numpy", "jax"],
+                   help="spectral clustering backend: 'jax' runs the "
+                        "O(N^2) affinity/p-prune/Laplacian/eigh on the "
+                        "accelerator (2x host at N=4096 chunks, see "
+                        "docs/BENCH.md); only used with "
+                        "--cluster_type spectral")
     p.add_argument("--cluster_mer_cos", type=float, default=0.3)
     p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
     p.add_argument("--cluster_min_cluster_size", type=int, default=0)
@@ -153,7 +160,8 @@ def main(argv=None):
         kw = {}
         if args.cluster_type == "spectral":
             kw = dict(pval=args.cluster_pval, max_num_spks=15,
-                      oracle_num=args.speaker_num)
+                      oracle_num=args.speaker_num,
+                      backend=args.cluster_backend)
         cluster = CommonClustering(
             args.cluster_type, mer_cos=args.cluster_mer_cos,
             min_cluster_size=args.cluster_min_cluster_size or 4,

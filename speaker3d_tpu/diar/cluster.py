@@ -19,7 +19,35 @@ and linkage logic stay on host.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _spectral_kernel(n_zero: int):
+    """Compiled affinity -> p-prune -> Laplacian -> eigh. Cached at module
+    level: a jit wrapper created inside a method is a fresh function object
+    per call and recompiles every time (measured: 33 s/call at N=1024)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        xn = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sim = jnp.matmul(xn, xn.T, precision=jax.lax.Precision.HIGHEST)
+        if n_zero > 0:
+            # per-row threshold at the n_zero-th smallest value
+            thr = jnp.sort(sim, axis=1)[:, n_zero][:, None]
+            sim = jnp.where(sim >= thr, sim, 0.0)
+        sim = 0.5 * (sim + sim.T)
+        sim = sim - jnp.diag(jnp.diag(sim))
+        lap = jnp.diag(jnp.sum(jnp.abs(sim), axis=1)) - sim
+        lambdas, vecs = jnp.linalg.eigh(lap)
+        return lambdas, vecs
+
+    return run
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
@@ -71,30 +99,14 @@ class SpectralCluster:
 
     def _device_spectral(self, X, pval=None):
         """Affinity -> p-prune -> Laplacian -> eigh, all on device."""
-        import jax
         import jax.numpy as jnp
 
         if pval is None:
             pval = self.pval
         n = X.shape[0]
         n_zero = min(int((1 - pval) * n), n - self.min_pnum)
-
-        @jax.jit
-        def run(x):
-            xn = x / jnp.maximum(
-                jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sim = jnp.matmul(xn, xn.T, precision=jax.lax.Precision.HIGHEST)
-            if n_zero > 0:
-                # per-row threshold at the n_zero-th smallest value
-                thr = jnp.sort(sim, axis=1)[:, n_zero][:, None]
-                sim = jnp.where(sim >= thr, sim, 0.0)
-            sim = 0.5 * (sim + sim.T)
-            sim = sim - jnp.diag(jnp.diag(sim))
-            lap = jnp.diag(jnp.sum(jnp.abs(sim), axis=1)) - sim
-            lambdas, vecs = jnp.linalg.eigh(lap)
-            return lambdas, vecs
-
-        lambdas, vecs = run(jnp.asarray(X, jnp.float32))
+        lambdas, vecs = _spectral_kernel(max(n_zero, 0))(
+            jnp.asarray(X, jnp.float32))
         k = min(self.max_num_spks + 1, n)
         return np.asarray(lambdas)[:k], np.asarray(vecs)
 
