@@ -25,10 +25,18 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _spectral_kernel(n_zero: int):
-    """Compiled affinity -> p-prune -> Laplacian -> eigh. Cached at module
-    level: a jit wrapper created inside a method is a fresh function object
-    per call and recompiles every time (measured: 33 s/call at N=1024)."""
+def _spectral_kernel(n_zero: int, k: int = 0):
+    """Compiled affinity -> p-prune -> Laplacian -> eigendecomposition.
+    Cached at module level: a jit wrapper created inside a method is a
+    fresh function object per call and recompiles every time (measured:
+    33 s/call at N=1024).
+
+    ``k=0``: full dense eigh (exact; compile cost grows fast with N —
+    N=8192 exhausts this harness's compile helper). ``k>0``: LOBPCG for
+    the k smallest eigenpairs via the shifted operator c*I - L (Gershgorin
+    bound c), mirroring the reference's ``eigsh(..., which='SM')``
+    (reference: process/cluster.py:95) with O(N^2 k) per-iteration cost
+    and a small compiled program."""
     import jax
     import jax.numpy as jnp
 
@@ -43,9 +51,20 @@ def _spectral_kernel(n_zero: int):
             sim = jnp.where(sim >= thr, sim, 0.0)
         sim = 0.5 * (sim + sim.T)
         sim = sim - jnp.diag(jnp.diag(sim))
-        lap = jnp.diag(jnp.sum(jnp.abs(sim), axis=1)) - sim
-        lambdas, vecs = jnp.linalg.eigh(lap)
-        return lambdas, vecs
+        deg = jnp.sum(jnp.abs(sim), axis=1)
+        lap = jnp.diag(deg) - sim
+        if k <= 0:
+            return jnp.linalg.eigh(lap)
+        from jax.experimental.sparse.linalg import lobpcg_standard
+
+        c = 2.0 * jnp.max(deg) + 1.0  # Gershgorin: lambda_max(L) <= 2 max deg
+        n = x.shape[0]
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (n, k), jnp.float32)
+        theta, u, _ = lobpcg_standard(
+            lambda v: c * v - lap @ v, x0, m=200)
+        lambdas = c - theta  # largest of (cI - L) = smallest of L
+        order = jnp.argsort(lambdas)
+        return lambdas[order], u[:, order]
 
     return run
 
@@ -71,13 +90,15 @@ class SpectralCluster:
     """
 
     def __init__(self, min_num_spks=1, max_num_spks=10, pval=0.02, min_pnum=6,
-                 oracle_num=None, backend: str = "numpy"):
+                 oracle_num=None, backend: str = "numpy",
+                 eigh_max_n: int = 2048):
         self.min_num_spks = min_num_spks
         self.max_num_spks = max_num_spks
         self.min_pnum = min_pnum
         self.pval = pval
         self.k = oracle_num
         self.backend = backend
+        self.eigh_max_n = eigh_max_n
 
     def __call__(self, X, pval=None, speaker_num=None, **kwargs):
         if self.backend == "jax":
@@ -98,16 +119,20 @@ class SpectralCluster:
         return self.kmeans(emb, num_spk)
 
     def _device_spectral(self, X, pval=None):
-        """Affinity -> p-prune -> Laplacian -> eigh, all on device."""
+        """Affinity -> p-prune -> Laplacian -> eigendecomposition on
+        device. Full eigh up to ``eigh_max_n`` rows; beyond that, LOBPCG
+        for just the max_num_spks+1 smallest eigenpairs (the only ones the
+        eigengap count and spectral embedding use)."""
         import jax.numpy as jnp
 
         if pval is None:
             pval = self.pval
         n = X.shape[0]
         n_zero = min(int((1 - pval) * n), n - self.min_pnum)
-        lambdas, vecs = _spectral_kernel(max(n_zero, 0))(
-            jnp.asarray(X, jnp.float32))
         k = min(self.max_num_spks + 1, n)
+        iter_k = k if n > self.eigh_max_n else 0
+        lambdas, vecs = _spectral_kernel(max(n_zero, 0), iter_k)(
+            jnp.asarray(X, jnp.float32))
         return np.asarray(lambdas)[:k], np.asarray(vecs)
 
     def p_pruning(self, A, pval=None):

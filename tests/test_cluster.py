@@ -113,6 +113,21 @@ def test_spectral_jax_backend_matches_numpy():
         assert remap[a] == b
 
 
+def test_spectral_jax_lobpcg_matches_numpy():
+    """Above eigh_max_n the device backend switches to LOBPCG for the
+    k smallest Laplacian eigenpairs (mirrors the reference's eigsh 'SM');
+    the partition must match the exact host path."""
+    x, y = _blobs(sizes=(60, 60, 60), seed=7)
+    lab_np = SpectralCluster(pval=0.05)(x)
+    lab_it = SpectralCluster(pval=0.05, backend="jax", eigh_max_n=0)(x)
+    assert _purity(lab_it, y) == 1.0
+    assert len(np.unique(lab_it)) == len(np.unique(lab_np)) == 3
+    remap = {}
+    for a, b in zip(lab_it, lab_np):
+        remap.setdefault(a, b)
+        assert remap[a] == b
+
+
 def test_min_cluster_ratio_relative_threshold():
     """Relative minor-cluster threshold scales with N (arXiv:2606.08505):
     the same ratio absorbs a small cluster that an absolute size misses."""
