@@ -67,11 +67,14 @@ def get_args(argv=None):
                         "when the external libs are absent)")
     p.add_argument("--cluster_backend", default="numpy",
                    choices=["numpy", "jax"],
-                   help="spectral clustering backend: 'jax' runs the "
-                        "O(N^2) affinity/p-prune/Laplacian/eigh on the "
-                        "accelerator (2x host at N=4096 chunks, see "
-                        "docs/BENCH.md); only used with "
-                        "--cluster_type spectral")
+                   help="clustering numerics backend: 'jax' runs the "
+                        "O(N^2) stages on the accelerator. Big win for "
+                        "spectral (affinity/p-prune/Laplacian/eigenpairs "
+                        "stay on device; LOBPCG past 2048 chunks, 93x "
+                        "host at 8k chunks). For AHC only the affinity "
+                        "moves on-device and the full matrix comes back "
+                        "for host linkage — worthwhile only when "
+                        "device->host bandwidth is high. docs/BENCH.md.")
     p.add_argument("--cluster_mer_cos", type=float, default=0.3)
     p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
     p.add_argument("--cluster_min_cluster_size", type=int, default=0)
@@ -154,13 +157,16 @@ def main(argv=None):
 
         segmentation = load_segmentation_exp(args.segmentation_exp_dir)
     cluster = None
-    if args.cluster_type != "AHC":
+    if args.cluster_type != "AHC" or args.cluster_backend == "jax":
         from speaker3d_tpu.diar.cluster import CommonClustering
 
         kw = {}
         if args.cluster_type == "spectral":
             kw = dict(pval=args.cluster_pval, max_num_spks=15,
                       oracle_num=args.speaker_num,
+                      backend=args.cluster_backend)
+        elif args.cluster_type == "AHC":
+            kw = dict(fix_cos_thr=args.cluster_fix_cos_thr,
                       backend=args.cluster_backend)
         cluster = CommonClustering(
             args.cluster_type, mer_cos=args.cluster_mer_cos,

@@ -177,18 +177,48 @@ class SpectralCluster:
         return labels
 
 
+@functools.lru_cache(maxsize=2)
+def _affinity_kernel():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        xn = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return jnp.matmul(xn, xn.T, precision=jax.lax.Precision.HIGHEST)
+
+    return run
+
+
 class AHCluster:
     """Average-linkage AHC cut at a fixed cosine threshold.
-    (reference: process/cluster.py:139-156)"""
+    (reference: process/cluster.py:139-156)
 
-    def __init__(self, fix_cos_thr=0.4):
+    ``backend='jax'`` computes the O(N^2 d) cosine affinity on the
+    accelerator (fp32; the dominant host cost at hour-scale N) — the
+    linkage merges stay on host scipy. numpy (float64) remains the default
+    because float32 rounding can flip near-tie merge orders."""
+
+    def __init__(self, fix_cos_thr=0.4, backend: str = "numpy"):
         self.fix_cos_thr = fix_cos_thr
+        self.backend = backend
 
     def __call__(self, X, **kwargs):
         from scipy.cluster.hierarchy import fcluster, linkage
         from scipy.spatial.distance import squareform
 
-        scr = squareform(-cosine_affinity(X), checks=False)
+        if self.backend == "jax":
+            import jax.numpy as jnp
+
+            aff = np.asarray(
+                _affinity_kernel()(jnp.asarray(X, jnp.float32)),
+                dtype=np.float64)
+            aff = 0.5 * (aff + aff.T)  # exact symmetry for squareform
+            np.fill_diagonal(aff, 1.0)
+        else:
+            aff = cosine_affinity(X)
+        scr = squareform(-aff, checks=False)
         lin = linkage(scr, method="average")
         adjust = abs(lin[:, 2].min())
         lin[:, 2] += adjust

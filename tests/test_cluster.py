@@ -128,6 +128,21 @@ def test_spectral_jax_lobpcg_matches_numpy():
         assert remap[a] == b
 
 
+def test_ahc_jax_affinity_matches_numpy():
+    """AHC with the device-computed affinity must produce the same
+    partition as the float64 host affinity on separated data."""
+    from speaker3d_tpu.diar.cluster import AHCluster
+
+    x, y = _blobs(sizes=(50, 50, 50), seed=9)
+    lab_np = AHCluster(fix_cos_thr=0.3)(x)
+    lab_jx = AHCluster(fix_cos_thr=0.3, backend="jax")(x)
+    assert _purity(lab_np, y) == 1.0 and _purity(lab_jx, y) == 1.0
+    remap = {}
+    for a, b in zip(lab_jx, lab_np):
+        remap.setdefault(a, b)
+        assert remap[a] == b
+
+
 def test_min_cluster_ratio_relative_threshold():
     """Relative minor-cluster threshold scales with N (arXiv:2606.08505):
     the same ratio absorbs a small cluster that an absolute size misses."""
