@@ -34,15 +34,20 @@ def main():
     for n in sizes:
         x, true = synth_embeddings(n)
         row = {"n": n}
-        for backend in ("jax", "numpy"):
+        variants = [("lobpcg", dict(backend="jax", eigh_max_n=0)),
+                    ("numpy", dict(backend="numpy"))]
+        if n <= 4096:  # full dense eigh compile explodes past this
+            variants.insert(0, ("eigh", dict(backend="jax",
+                                             eigh_max_n=1 << 30)))
+        for name, kw in variants:
             sc = SpectralCluster(min_num_spks=1, max_num_spks=15,
-                                 pval=0.022, backend=backend)
+                                 pval=0.022, **kw)
             labels = sc(x)  # warm (compile included for jax)
             t0 = time.perf_counter()
             labels = sc(x)
-            row[backend + "_s"] = round(time.perf_counter() - t0, 3)
-            row[backend + "_spks"] = int(len(np.unique(labels)))
-        row["speedup"] = round(row["numpy_s"] / row["jax_s"], 2)
+            row[name + "_s"] = round(time.perf_counter() - t0, 3)
+            row[name + "_spks"] = int(len(np.unique(labels)))
+        row["speedup"] = round(row["numpy_s"] / row["lobpcg_s"], 2)
         print(json.dumps(row), flush=True)
 
 
