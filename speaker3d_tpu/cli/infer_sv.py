@@ -46,8 +46,16 @@ def main(argv=None):
         with jax.default_matmul_precision("highest"):
             return model.apply(variables, feats)[0]
 
+    wav_paths = list(args.wavs)
+    if len(wav_paths) == 1 and not wav_paths[0].endswith(".wav"):
+        # single non-.wav arg = file listing one wav path per line
+        # (reference: bin/infer_sv.py:318-331)
+        with open(wav_paths[0]) as f:
+            wav_paths = [ln.strip() for ln in f if ln.strip()]
+        print(f"[INFO] wav list with {len(wav_paths)} entries")
+
     embs = []
-    for wav_path in args.wavs:
+    for wav_path in wav_paths:
         wav = load_audio(wav_path, obj_fs=16000)[0]
         emb = np.asarray(embed(wav))
         embs.append(emb)

@@ -340,3 +340,56 @@ def test_extract_nprocs_fanout(tiny_exp, tmp_path):
     from speaker3d_tpu.eval.scoring import load_embeddings
 
     assert len(load_embeddings(out_dir)) == 3
+
+
+def test_infer_sv_pair_and_wavlist(tmp_path):
+    """Drive cli/infer_sv end-to-end from a registry model id with a
+    random-weight torch checkpoint placed at the modelscope layout,
+    covering pair scoring, .npy save, and the wav-list input mode
+    (reference: bin/infer_sv.py:313-331)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from speakerlab.models.campplus.DTDNN import CAMPPlus as TorchCAMPPlus
+
+    from speaker3d_tpu.cli.infer_sv import main as infer_main
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    model_id = "iic/speech_campplus_sv_zh-cn_16k-common"
+    ckpt_dir = os.path.join(tmp_path, "pretrained", model_id)
+    os.makedirs(ckpt_dir)
+    torch.manual_seed(0)
+    tm = TorchCAMPPlus(feat_dim=80, embedding_size=192)
+    torch.save(tm.state_dict(),
+               os.path.join(ckpt_dir, "campplus_cn_common.bin"))
+
+    rng = np.random.default_rng(0)
+    wavs = []
+    for i, f0 in enumerate((220.0, 2000.0)):
+        w = (0.3 * np.sin(2 * np.pi * f0 * np.arange(FS) / FS)
+             + 0.01 * rng.standard_normal(FS)).astype(np.float32)
+        p = os.path.join(tmp_path, f"w{i}.wav")
+        write_wav(p, w, FS)
+        wavs.append(p)
+
+    save_dir = os.path.join(tmp_path, "embs")
+    infer_main(["--model_id", model_id,
+                "--local_model_dir", os.path.join(tmp_path, "pretrained"),
+                "--wavs", *wavs, "--save_dir", save_dir])
+    e0 = np.load(os.path.join(save_dir, "w0.npy"))
+    e1 = np.load(os.path.join(save_dir, "w1.npy"))
+    assert e0.shape == (192,) and np.isfinite(e0).all()
+    cos = float(e0 @ e1 / (np.linalg.norm(e0) * np.linalg.norm(e1)))
+    assert -1.0 <= cos <= 1.0
+
+    # wav-list mode: one non-.wav argument listing paths
+    lst = os.path.join(tmp_path, "wavs.list")
+    with open(lst, "w") as f:
+        f.write("\n".join(wavs) + "\n")
+    save2 = os.path.join(tmp_path, "embs2")
+    infer_main(["--model_id", model_id,
+                "--local_model_dir", os.path.join(tmp_path, "pretrained"),
+                "--wavs", lst, "--save_dir", save2])
+    e0b = np.load(os.path.join(save2, "w0.npy"))
+    np.testing.assert_allclose(e0b, e0, atol=1e-5)
