@@ -40,6 +40,10 @@ def get_args(argv=None):
     p.add_argument("--data", required=True, help="wav.scp")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--mode", choices=["chunked", "exact"], default="chunked")
+    p.add_argument("--out_type", choices=["npz", "ark"], default="npz",
+                   help="'ark' writes Kaldi binary ark + scp like the "
+                        "reference's kaldiio WriteHelper (reference: "
+                        "bin/extract.py:79); native writer, no kaldiio")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--nprocs", type=int, default=1,
@@ -168,8 +172,14 @@ def main(argv=None):
                               sample_rate=args.sample_rate,
                               model=model, variables=variables)
     os.makedirs(args.out_dir, exist_ok=True)
-    save_embeddings(os.path.join(
-        args.out_dir, f"embeddings_{process_rank()}.npz"), embs)
+    if args.out_type == "ark":
+        from speaker3d_tpu.utils.kaldi_ark import write_ark_scp
+
+        base = os.path.join(args.out_dir, f"embedding_{process_rank()}")
+        write_ark_scp(base + ".ark", embs, base + ".scp")
+    else:
+        save_embeddings(os.path.join(
+            args.out_dir, f"embeddings_{process_rank()}.npz"), embs)
     print(f"wrote {len(embs)} embeddings to {args.out_dir}")
 
 

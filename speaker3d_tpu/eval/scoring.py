@@ -26,20 +26,35 @@ def save_embeddings(path: str, embeddings: Dict[str, np.ndarray]) -> None:
 
 
 def load_embeddings(path_or_dir: str) -> Dict[str, np.ndarray]:
-    """Load one .npz, every *.npz in a directory, or a directory of
-    per-utterance <utt>.npy files (the reference fork's infer_sv format)."""
+    """Load one .npz, a Kaldi .ark/.scp, every *.npz / *.ark in a
+    directory, or a directory of per-utterance <utt>.npy files (the
+    reference fork's infer_sv format)."""
+    if path_or_dir.endswith(".ark") or path_or_dir.endswith(".scp"):
+        from speaker3d_tpu.utils.kaldi_ark import read_ark, read_scp
+
+        return (read_scp(path_or_dir) if path_or_dir.endswith(".scp")
+                else read_ark(path_or_dir))
     paths = []
     if os.path.isdir(path_or_dir):
         entries = sorted(os.listdir(path_or_dir))
         paths = [os.path.join(path_or_dir, p) for p in entries
                  if re.search(r"\.npz$", p)]
+        arks = [os.path.join(path_or_dir, p) for p in entries
+                if p.endswith(".ark")]
+        if not paths and arks:
+            from speaker3d_tpu.utils.kaldi_ark import read_ark
+
+            out: Dict[str, np.ndarray] = {}
+            for p in arks:
+                out.update(read_ark(p))
+            return out
         if not paths:
             npys = [p for p in entries if p.endswith(".npy")]
             if npys:
                 return {p[:-4]: np.load(os.path.join(path_or_dir, p))
                         for p in npys}
             raise FileNotFoundError(
-                f"no .npz/.npy embedding files in {path_or_dir}")
+                f"no .npz/.ark/.npy embedding files in {path_or_dir}")
     else:
         paths = [path_or_dir]
     out: Dict[str, np.ndarray] = {}

@@ -73,3 +73,15 @@ def test_metrics_match_reference_implementation():
     got_dcf = compute_min_dcf(scores, labels, p_target=0.01)
     want_dcf = ref_c_norm(ref_fnr, ref_fpr, 0.01)
     assert abs(got_dcf - want_dcf) < 1e-9
+
+
+def test_eer_degenerate_perfect_separation():
+    """Perfectly separated tiny trial lists have no DET crossing; the
+    reference formula raises IndexError there — we report 0 instead."""
+    from speaker3d_tpu.utils.metrics import compute_eer
+
+    scores = np.array([0.9, 0.1], dtype=np.float64)
+    labels = np.array([1, 0])
+    assert compute_eer(scores, labels) == 0.0
+    eer, thr = compute_eer(scores, labels, return_threshold=True)
+    assert eer == 0.0 and 0.1 <= thr <= 0.9
