@@ -28,7 +28,10 @@ def get_args(argv=None):
     p.add_argument("--wavs", required=True,
                    help="wav path, dir, or list file (one path per line)")
     p.add_argument("--out_dir", required=True)
-    p.add_argument("--out_type", choices=["npy", "npz"], default="npy")
+    p.add_argument("--out_type", choices=["npy", "npz", "ark"],
+                   default="npy",
+                   help="'ark' = Kaldi binary ark+scp (the reference's "
+                        "--feat_out_format ark, bin/infer_sv_batch.py:42)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--nprocs", type=int, default=1,
                    help="local subprocess fan-out (utils/fanout.py); files\n"
@@ -79,7 +82,12 @@ def main(argv=None):
     embs = extract_embeddings(embed_fn, good_scp, mode="chunked",
                               batch_size=args.batch_size)
     os.makedirs(args.out_dir, exist_ok=True)
-    if args.out_type == "npy":
+    if args.out_type == "ark":
+        from speaker3d_tpu.utils.kaldi_ark import write_ark_scp
+
+        base = os.path.join(args.out_dir, f"embedding_{process_rank()}")
+        write_ark_scp(base + ".ark", embs, base + ".scp")
+    elif args.out_type == "npy":
         for utt, emb in embs.items():
             np.save(os.path.join(args.out_dir, f"{utt}.npy"), emb)
     else:
