@@ -110,8 +110,11 @@ def main(argv=None):
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)
             base = os.path.splitext(os.path.basename(w))[0]
-            with open(os.path.join(args.out_dir, f"{base}.json"), "w") as f:
-                json.dump(r, f, indent=2)
+            # per-file sidecar name matches the reference
+            # (bin/check_single_speaker.py:175)
+            out_file = os.path.join(args.out_dir, f"{base}.single_spk.json")
+            with open(out_file, "w") as f:
+                json.dump(r, f, indent=2, ensure_ascii=False)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results if len(results) > 1 else results[0], f, indent=2)
