@@ -25,7 +25,20 @@ asr_dir=${ASR_DIR:-}
 
 cd "$(dirname "$0")"
 REPO_ROOT=$(cd ../../.. && pwd)
-export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+# Absolutize user paths so the recipe can run from the repo root below.
+for v in wav_dir ref_rttm out_dir seg_exp asr_dir; do
+  val=${!v}
+  if [ -n "$val" ] && [ "${val#/}" = "$val" ]; then
+    printf -v "$v" '%s/%s' "$PWD" "$val"
+  fi
+done
+if [ -n "${PALLAS_AXON_POOL_IPS:-}" ]; then
+  # tunneled-TPU harness: PYTHONPATH breaks the axon plugin registration
+  # (see CLAUDE.md); run from the repo root so cwd supplies the imports
+  cd "$REPO_ROOT"
+else
+  export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+fi
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "stage 1: diarize (VAD + embeddings + $cluster clustering + RTTM)"

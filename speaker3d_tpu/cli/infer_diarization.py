@@ -168,9 +168,15 @@ def main(argv=None):
         elif args.cluster_type == "AHC":
             kw = dict(fix_cos_thr=args.cluster_fix_cos_thr,
                       backend=args.cluster_backend)
+        # AHC must keep the pipeline's min_cluster_size semantics (the
+        # backend flag changes numerics only, not post-filtering);
+        # spectral/umap keep the recipe default of 4 when unset.
+        min_csize = (args.cluster_min_cluster_size
+                     if args.cluster_type == "AHC"
+                     else args.cluster_min_cluster_size or 4)
         cluster = CommonClustering(
             args.cluster_type, mer_cos=args.cluster_mer_cos,
-            min_cluster_size=args.cluster_min_cluster_size or 4,
+            min_cluster_size=min_csize,
             min_cluster_ratio=args.cluster_min_cluster_ratio, **kw)
     pipe = DiarizationPipeline(
         embed_fn,

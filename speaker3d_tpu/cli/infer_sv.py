@@ -47,11 +47,17 @@ def main(argv=None):
             return model.apply(variables, feats)[0]
 
     wav_paths = list(args.wavs)
-    if len(wav_paths) == 1 and not wav_paths[0].endswith(".wav"):
-        # single non-.wav arg = file listing one wav path per line
+    if (len(wav_paths) == 1
+            and not wav_paths[0].lower().endswith((".wav", ".flac"))):
+        # single non-audio arg = file listing one wav path per line
         # (reference: bin/infer_sv.py:318-331)
-        with open(wav_paths[0]) as f:
-            wav_paths = [ln.strip() for ln in f if ln.strip()]
+        try:
+            with open(wav_paths[0]) as f:
+                wav_paths = [ln.strip() for ln in f if ln.strip()]
+        except (UnicodeDecodeError, OSError) as e:
+            raise SystemExit(
+                "[ERROR]: Input should be a wav file or a wav list "
+                f"(could not read {wav_paths[0]!r} as a list: {e})")
         print(f"[INFO] wav list with {len(wav_paths)} entries")
 
     embs = []

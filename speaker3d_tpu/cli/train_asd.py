@@ -137,7 +137,10 @@ def main(argv=None):
         variables = {"params": host["params"],
                      "batch_stats": host["batch_stats"]}
         m_ap = evaluate(model, variables, val_data, limit=200)
-        print(f"epoch {epoch+1}: loss {np.mean([float(x) for x in losses]):.4f} "
+        from speaker3d_tpu.utils.misc import fetch_mean
+
+        avg_loss = fetch_mean(losses) if losses else float("nan")
+        print(f"epoch {epoch+1}: loss {avg_loss:.4f} "
               f"val mAP {100*m_ap:.2f}% ({time.time()-t0:.0f}s)", flush=True)
         ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
     tracer.close()

@@ -169,7 +169,9 @@ def main(argv=None):
                       flush=True)
             break
         if jax.process_index() == 0 and metrics_acc:
-            avg = {k: float(np.mean([float(m[k]) for m in metrics_acc]))
+            from speaker3d_tpu.utils.misc import fetch_mean
+
+            avg = {k: fetch_mean([m[k] for m in metrics_acc])
                    for k in metrics_acc[0]}
             with open(log_path, "a") as f:
                 f.write(json.dumps({"epoch": epoch, **avg,

@@ -131,6 +131,7 @@ def main(argv=None):
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
     from speaker3d_tpu.data.prefetch import device_prefetch
+    from speaker3d_tpu.utils.misc import fetch_mean
     for epoch in epoch_counter:
         loader.set_epoch(epoch)
         t0 = time.time()
@@ -161,10 +162,8 @@ def main(argv=None):
         if jax.process_index() == 0:
             logger.log_stats(
                 {"epoch": epoch, "time_s": round(time.time() - t0, 1)},
-                {"avg_loss": float(np.mean([float(x) for x in losses]))
-                 if losses else None,
-                 "avg_acc": float(np.mean([float(x) for x in accs]))
-                 if accs else None})
+                {"avg_loss": fetch_mean(losses) if losses else None,
+                 "avg_acc": fetch_mean(accs) if accs else None})
             host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
             checkpointer.save_checkpoint(epoch, {"train_state": host})
     tracer.close()

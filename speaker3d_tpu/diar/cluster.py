@@ -25,18 +25,20 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _spectral_kernel(n_zero: int, k: int = 0):
-    """Compiled affinity -> p-prune -> Laplacian -> eigendecomposition.
+def _spectral_kernel(n_zero: int, k: int, use_lobpcg: bool):
+    """Compiled affinity -> p-prune -> Laplacian -> k smallest eigenpairs.
     Cached at module level: a jit wrapper created inside a method is a
     fresh function object per call and recompiles every time (measured:
-    33 s/call at N=1024).
+    33 s/call at N=1024). Only the k needed eigenpairs cross back to host
+    (full eigenvectors at N=2048 would be a ~17 MB fetch for 130 KB used).
 
-    ``k=0``: full dense eigh (exact; compile cost grows fast with N —
-    N=8192 exhausts this harness's compile helper). ``k>0``: LOBPCG for
-    the k smallest eigenpairs via the shifted operator c*I - L (Gershgorin
-    bound c), mirroring the reference's ``eigsh(..., which='SM')``
-    (reference: process/cluster.py:95) with O(N^2 k) per-iteration cost
-    and a small compiled program."""
+    ``use_lobpcg=False``: full dense eigh, sliced (exact; compile cost
+    grows fast with N — N=8192 exhausts this harness's compile helper).
+    ``use_lobpcg=True``: LOBPCG for the k smallest eigenpairs via the
+    shifted operator c*I - L (Gershgorin bound c), mirroring the
+    reference's ``eigsh(..., which='SM')`` (reference:
+    process/cluster.py:95) with O(N^2 k) per-iteration cost and a small
+    compiled program. Requires 5k < n (jax lobpcg input check)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,8 +55,9 @@ def _spectral_kernel(n_zero: int, k: int = 0):
         sim = sim - jnp.diag(jnp.diag(sim))
         deg = jnp.sum(jnp.abs(sim), axis=1)
         lap = jnp.diag(deg) - sim
-        if k <= 0:
-            return jnp.linalg.eigh(lap)
+        if not use_lobpcg:
+            lambdas, vecs = jnp.linalg.eigh(lap)
+            return lambdas[:k], vecs[:, :k]
         from jax.experimental.sparse.linalg import lobpcg_standard
 
         c = 2.0 * jnp.max(deg) + 1.0  # Gershgorin: lambda_max(L) <= 2 max deg
@@ -130,10 +133,12 @@ class SpectralCluster:
         n = X.shape[0]
         n_zero = min(int((1 - pval) * n), n - self.min_pnum)
         k = min(self.max_num_spks + 1, n)
-        iter_k = k if n > self.eigh_max_n else 0
-        lambdas, vecs = _spectral_kernel(max(n_zero, 0), iter_k)(
+        # jax lobpcg requires search_dim*5 < n; below that, full eigh is
+        # tiny anyway
+        use_lobpcg = n > self.eigh_max_n and n > 5 * k
+        lambdas, vecs = _spectral_kernel(max(n_zero, 0), k, use_lobpcg)(
             jnp.asarray(X, jnp.float32))
-        return np.asarray(lambdas)[:k], np.asarray(vecs)
+        return np.asarray(lambdas), np.asarray(vecs)
 
     def p_pruning(self, A, pval=None):
         """Zero the lowest (1-p) fraction of each row (keeping >= min_pnum)."""

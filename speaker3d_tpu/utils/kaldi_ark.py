@@ -27,6 +27,11 @@ _BIN = b"\0B"
 
 def _write_record(f, key: str, arr: np.ndarray) -> int:
     """Append one record; returns the offset of the binary header."""
+    if not key or any(c.isspace() for c in key) or "\0" in key:
+        # a space/NUL in the key silently corrupts the archive (the reader
+        # delimits keys on ' '): fail at write time instead
+        raise ValueError(f"invalid kaldi ark key {key!r} "
+                         "(must be non-empty, no whitespace/NUL)")
     arr = np.asarray(arr)
     if arr.dtype != np.float32:
         arr = arr.astype(np.float32)
@@ -79,10 +84,17 @@ def _read_value(f) -> np.ndarray:
     dtype, ndim = _HEADERS[kind]
     if ndim == 1:
         dim = _read_int(f)
-        return np.frombuffer(f.read(dim * dtype().itemsize), dtype)
+        buf = f.read(dim * dtype().itemsize)
+        if len(buf) != dim * dtype().itemsize:
+            raise ValueError("truncated kaldi ark record")
+        # copy: frombuffer views are read-only, unlike the npz/npy loaders
+        return np.frombuffer(buf, dtype, count=dim).copy()
     rows, cols = _read_int(f), _read_int(f)
-    flat = np.frombuffer(f.read(rows * cols * dtype().itemsize), dtype)
-    return flat.reshape(rows, cols)
+    buf = f.read(rows * cols * dtype().itemsize)
+    if len(buf) != rows * cols * dtype().itemsize:
+        raise ValueError("truncated kaldi ark record")
+    return np.frombuffer(buf, dtype, count=rows * cols).reshape(
+        rows, cols).copy()
 
 
 def iter_ark(ark_path: str) -> Iterator[Tuple[str, np.ndarray]]:

@@ -117,3 +117,16 @@ def silent_print():
         with contextlib.redirect_stdout(devnull), \
                 contextlib.redirect_stderr(devnull):
             yield
+
+
+def fetch_mean(scalars) -> float:
+    """Mean of a list of (device or host) scalars with ONE device->host
+    transfer. float() per element costs one tunnel round-trip each
+    (O(100 ms) on the axon harness — a 1000-step epoch would stall ~100 s
+    at the epoch boundary); stacking on device first makes it one fetch."""
+    if not scalars:
+        raise ValueError("fetch_mean of empty list")
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.stack([jnp.asarray(x) for x in scalars]))
+                 .mean())

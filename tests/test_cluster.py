@@ -128,6 +128,16 @@ def test_spectral_jax_lobpcg_matches_numpy():
         assert remap[a] == b
 
 
+def test_spectral_jax_small_n_falls_back_to_eigh():
+    """jax lobpcg requires 5k < n; below that the device backend must use
+    the sliced full eigh rather than crash (k=16 at max_num_spks=15)."""
+    x, y = _blobs(sizes=(30, 30), seed=11)  # n=60 < 5*16
+    lab = SpectralCluster(pval=0.05, max_num_spks=15, backend="jax",
+                          eigh_max_n=0)(x)
+    assert _purity(lab, y) == 1.0
+    assert len(np.unique(lab)) == 2
+
+
 def test_ahc_jax_affinity_matches_numpy():
     """AHC with the device-computed affinity must produce the same
     partition as the float64 host affinity on separated data."""
