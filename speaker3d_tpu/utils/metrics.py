@@ -42,8 +42,19 @@ def compute_eer(scores=None, labels=None, *, fnr=None, fpr=None,
     if fnr is None or fpr is None:
         fnr, fpr = fnr_fpr_curve(scores, labels)
     diff = fnr - fpr
-    x1 = np.flatnonzero(diff >= 0)[0]
-    x2 = np.flatnonzero(diff < 0)[-1]
+    pos, neg = np.flatnonzero(diff >= 0), np.flatnonzero(diff < 0)
+    if len(pos) == 0 or len(neg) == 0:
+        # degenerate curve (e.g. perfectly separated tiny trial lists):
+        # no DET crossing exists — the reference formula would crash here
+        # (utils/score_metrics.py:84-85); report the best achievable
+        # balanced operating point instead (0 for perfect separation).
+        eer = float(np.min(np.maximum(fnr, fpr)))
+        if return_threshold:
+            idx = int(np.argmin(np.maximum(fnr, fpr)))
+            return eer, float(np.sort(np.asarray(scores))[idx])
+        return eer
+    x1 = pos[0]
+    x2 = neg[-1]
     denom = fpr[x2] - fpr[x1] - (fnr[x2] - fnr[x1])
     a = (fnr[x1] - fpr[x1]) / denom if denom != 0 else 0.0
     eer = fnr[x1] + a * (fnr[x2] - fnr[x1])
