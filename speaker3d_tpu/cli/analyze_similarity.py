@@ -48,6 +48,8 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     args = get_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 

@@ -17,6 +17,8 @@ import argparse
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     from speaker3d_tpu.diar.der import (
         compute_der,
         compute_der_for_files,

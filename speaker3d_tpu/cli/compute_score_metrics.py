@@ -37,6 +37,8 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     args = get_args(argv)
     os.makedirs(args.scores_dir, exist_ok=True)
     result_path = os.path.join(args.scores_dir, "result.metrics")

@@ -74,6 +74,8 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     import json
 
     args = get_args(argv)

@@ -142,6 +142,8 @@ def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     import jax
 
     from speaker3d_tpu.eval.embedding import build_embedding_fn

@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     import jax
 
     from speaker3d_tpu.cli.train_ssl import build_ssl_model

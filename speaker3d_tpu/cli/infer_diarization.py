@@ -116,6 +116,8 @@ def collect_wavs(specs):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     import jax
 
     from speaker3d_tpu.diar.pipeline import DiarizationPipeline

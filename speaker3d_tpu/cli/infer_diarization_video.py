@@ -196,6 +196,8 @@ def build_asd_scorer(args, wav_1d, fs):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     args = get_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 

@@ -20,6 +20,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     import jax
 
     from speaker3d_tpu.cli.extract import build_model_from_exp

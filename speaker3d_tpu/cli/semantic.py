@@ -68,6 +68,8 @@ def encode(rows, tokenizer, max_length, token_level):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     import jax
 
     from speaker3d_tpu.parallel.mesh import make_mesh

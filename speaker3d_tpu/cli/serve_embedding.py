@@ -38,6 +38,8 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     from speaker3d_tpu.eval.embedding import build_embedding_fn
     from speaker3d_tpu.serve import serve
 

@@ -51,8 +51,11 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     args, overrides = get_args(argv)
-    config = build_config(args.config, overrides, copy_to_exp_dir=True)
+    config = build_config(args.config, overrides,
+                          copy_to_exp_dir=jax.process_index() == 0)
     exp_dir = config["exp_dir"]
     os.makedirs(exp_dir, exist_ok=True)
 
@@ -70,13 +73,19 @@ def main(argv=None):
     ) if config.get("aug_prob", 0.0) > 0 else None
     dataset = WavSVDataset(config["data"], wav_reader, label_encoder, aug)
 
+    # config batch_size is GLOBAL (reference: per-rank batch = global/world,
+    # bin/train.py:45-48); each host loads its 1/process_count share and the
+    # shards are assembled into one global array on the mesh (prefetch.py).
+    n_proc = jax.process_count()
+    global_batch = config.get("batch_size", 128)
+    per_host_batch = global_batch // n_proc
     loader = BatchLoader(
         dataset,
-        batch_size=config.get("batch_size", 128),
+        batch_size=per_host_batch,
         num_workers=config.get("num_workers", 8),
         seed=args.seed,
         process_index=jax.process_index(),
-        process_count=jax.process_count(),
+        process_count=n_proc,
     )
     step_per_epoch = len(loader)
 
@@ -87,8 +96,10 @@ def main(argv=None):
 
     n_model = config.get("model_parallel", 1)
     n_dev = len(jax.devices())
-    per_host_batch = config.get("batch_size", 128) // jax.process_count()
-    n_data = _math.gcd(per_host_batch, max(n_dev // n_model, 1))
+    n_local = n_dev // n_proc
+    # data-axis size: a multiple of process_count (each host owns equal mesh
+    # rows) that divides the global batch
+    n_data = n_proc * _math.gcd(per_host_batch, max(n_local // n_model, 1))
     mesh = make_mesh(data=n_data, model=n_model,
                      devices=jax.devices()[: n_data * n_model])
 
@@ -170,7 +181,8 @@ def main(argv=None):
               f"(epoch {src['__meta__']['epoch']}), optimizer reset")
 
     logger = EpochLogger(os.path.join(exp_dir, "train_epoch.log"))
-    label_encoder.save(os.path.join(exp_dir, "label_encoder.pkl"))
+    if jax.process_index() == 0:
+        label_encoder.save(os.path.join(exp_dir, "label_encoder.pkl"))
 
     log_every = config.get("log_batch_freq", 50)
     from speaker3d_tpu.utils.preemption import (

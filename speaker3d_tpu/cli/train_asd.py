@@ -40,6 +40,8 @@ def evaluate(model, variables, val_data, limit=None):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     import jax
 
     from speaker3d_tpu.data.dataset_asd import TrainData, ValData

@@ -125,6 +125,8 @@ def build_frozen_frontend(config, seed: int):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     args, overrides = get_args(argv)
     config = build_config(args.config, overrides, copy_to_exp_dir=True)
     exp_dir = config["exp_dir"]

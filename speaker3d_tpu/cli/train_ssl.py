@@ -59,6 +59,8 @@ def build_ssl_model(variant: str, config):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--variant", choices=["rdino", "sdpn"], default="rdino")

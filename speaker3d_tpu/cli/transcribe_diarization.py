@@ -45,6 +45,8 @@ def load_rttm_fields(path):
 
 
 def main(argv=None):
+    from speaker3d_tpu.parallel.mesh import init_multihost
+    init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     from speaker3d_tpu.diar.transcribe import attribute_transcript
 
     args = get_args(argv)

@@ -45,6 +45,21 @@ def device_prefetch(iterator: Iterable, sharding=None, depth: int = 2,
         from jax.sharding import NamedSharding, PartitionSpec
         sharding = NamedSharding(mesh, PartitionSpec("data"))
 
+    multihost = jax.process_count() > 1 and sharding is not None
+
+    def _to_device(batch):
+        if multihost:
+            # each host loaded its 1/process_count share of the global batch
+            # (BatchLoader order[rank::count]); assemble the per-host shards
+            # into one global array over the mesh (replaces the reference's
+            # DistributedSampler per-rank batches, bin/train.py:45-48)
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(sharding, x),
+                batch)
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
     end = object()
@@ -63,11 +78,7 @@ def device_prefetch(iterator: Iterable, sharding=None, depth: int = 2,
     def worker():
         try:
             for batch in iterator:
-                if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
-                else:
-                    batch = jax.device_put(batch)
-                if not _put(batch):
+                if not _put(_to_device(batch)):
                     return
         except BaseException as e:  # propagate loader errors to consumer
             error[0] = e

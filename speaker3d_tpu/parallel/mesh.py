@@ -49,21 +49,45 @@ def model_sharded(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 
 def init_multihost(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
-                   process_id: Optional[int] = None) -> None:
+                   process_id: Optional[int] = None) -> bool:
     """Initialize jax.distributed for multi-host pods (replaces torchrun
-    process-group init, reference: bin/train.py:34). No-ops on single host /
-    when already initialized; env vars (JAX_COORDINATOR_ADDRESS, ...) are
-    used when arguments are omitted."""
-    import jax
+    process-group init, reference: bin/train.py:34).
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
-    except (ValueError, RuntimeError):
-        pass  # single-host run without coordinator configuration
+    Called at the top of every CLI ``main()``. Resolution order for each
+    field: explicit argument > ``SPEAKER3D_*`` env > ``JAX_*`` env. When no
+    coordinator is configured anywhere this is a no-op (single-host run) and
+    — critically — does NOT touch the XLA backend, so a later explicit
+    ``jax.distributed.initialize`` by the caller still works. When a
+    coordinator IS configured, initialization failures propagate: silently
+    degrading a pod run to N independent single-host runs double-writes
+    checkpoints and shards nothing.
+
+    Returns True iff jax.distributed is initialized after the call.
+    """
+    import os
+
+    if jax.distributed.is_initialized():
+        return True
+
+    def _env(name: str) -> Optional[str]:
+        return (os.environ.get("SPEAKER3D_" + name)
+                or os.environ.get("JAX_" + name) or None)
+
+    if coordinator_address is None:
+        coordinator_address = _env("COORDINATOR_ADDRESS")
+    if num_processes is None:
+        v = _env("NUM_PROCESSES")
+        num_processes = int(v) if v else None
+    if process_id is None:
+        v = _env("PROCESS_ID")
+        process_id = int(v) if v else None
+
+    if coordinator_address is None:
+        return False  # single-host: never probe or init the backend
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def process_rank() -> int:

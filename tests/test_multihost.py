@@ -1,0 +1,225 @@
+"""2-process jax.distributed integration tests (coordinator on localhost).
+
+Validates the multi-host story end-to-end on CPU (VERDICT r1 item 1):
+  - init_multihost() picks up the coordinator env and initializes
+    jax.distributed from inside the real CLI mains;
+  - a 2-process train step matches the single-process result at fixed
+    data-axis size (Gloo cross-process collectives == in-process);
+  - the real cli.train runs on a 2-process mesh and only process 0 writes
+    checkpoints/config/logs;
+  - sharded cli.extract produces disjoint, complete, correct shards.
+
+Reference equivalents: torchrun + dist.init_process_group
+(speakerlab/bin/train.py:34), rank::world file sharding (bin/extract.py:67).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(task_args, nproc=2, timeout=600):
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU tunnel in workers
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "SPEAKER3D_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "SPEAKER3D_NUM_PROCESSES": str(nproc),
+            "SPEAKER3D_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER] + task_args, env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return outs
+
+
+def _make_corpus(root, n_spk=3, n_utt=6, dur=1.0, seed=0, fs=16000):
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "wav"), exist_ok=True)
+    rows = []
+    freqs = [200, 800, 2600]
+    for s in range(n_spk):
+        for u in range(n_utt):
+            t = np.arange(int(dur * fs)) / fs
+            f = freqs[s] * (1 + 0.02 * rng.standard_normal())
+            wav = (0.3 * np.sin(2 * np.pi * f * t)
+                   + 0.1 * np.sin(2 * np.pi * 2 * f * t)
+                   + 0.01 * rng.standard_normal(len(t)))
+            path = os.path.join(root, "wav", f"spk{s}_utt{u}.wav")
+            write_wav(path, wav.astype(np.float32), fs)
+            rows.append((f"spk{s}_utt{u}", path, f"spk{s}"))
+    csv_path = os.path.join(root, "train.csv")
+    with open(csv_path, "w") as f:
+        f.write("ID,wav,spk\n")
+        for rid, path, spk in rows:
+            f.write(f"{rid},{path},{spk}\n")
+    return csv_path, rows
+
+
+def test_two_process_step_matches_single_process(tmp_path):
+    """Gloo cross-process psum/pmean must reproduce the in-process result."""
+    out = os.path.join(str(tmp_path), "two_proc.npz")
+    _launch(["step_equiv", out])
+    got = np.load(out)
+
+    # single-process reference on 2 local devices (same data-axis size)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speaker3d_tpu.parallel.mesh import make_mesh
+    from speaker3d_tpu.train.sv_train import (
+        init_sv_train_state,
+        make_sv_train_step,
+    )
+    import flax.linen as nn
+
+    def tiny_batch(seed=0, b=8, t=12, f=20, num_classes=10):
+        # must mirror tests/multihost_worker.py::tiny_batch exactly
+        rng = np.random.default_rng(seed)
+        labels = rng.integers(0, num_classes, b)
+        feats = rng.standard_normal((b, t, f)).astype(np.float32) * 0.1
+        for i, lab in enumerate(labels):
+            feats[i, :, lab] += 2.0
+        return {"feats": feats, "labels": labels.astype(np.int32)}
+
+    class TinyModel(nn.Module):
+        emb: int = 16
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Dense(32)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            return nn.Dense(self.emb)(x.mean(axis=1))
+
+    from speaker3d_tpu.train.sv_train import SVTrainConfig
+
+    cfg = SVTrainConfig(num_classes=10, embedding_size=16, max_lr=0.05,
+                        min_lr=1e-3, warmup_epoch=1, fix_epoch=10,
+                        step_per_epoch=10, increase_start_epoch=2,
+                        margin_fix_epoch=5, final_margin=0.2)
+    model = TinyModel()
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    sharding = NamedSharding(mesh, P("data"))
+    state = init_sv_train_state(jax.random.PRNGKey(0), model,
+                                tiny_batch(0)["feats"][:1], cfg, mesh)
+    host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    step = make_sv_train_step(model, cfg, mesh, host)
+    losses = []
+    for i in range(3):
+        batch = jax.device_put(tiny_batch(seed=i), sharding)
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    final = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    flat = np.concatenate([np.ravel(v) for v in sorted(
+        jax.tree_util.tree_leaves(final["params"]), key=lambda a: a.size)])
+
+    np.testing.assert_allclose(got["losses"], losses, atol=1e-6)
+    np.testing.assert_allclose(got["params"], flat, atol=1e-5)
+    np.testing.assert_allclose(got["cls_w"], final["cls_w"], atol=1e-5)
+
+
+def test_two_process_train_and_extract_cli(tmp_path):
+    """The real cli.train + cli.extract on a 2-process pod: rank-0-only
+    writes, disjoint complete extraction shards, values matching a
+    single-process extraction."""
+    root = str(tmp_path)
+    csv_path, rows = _make_corpus(root)
+    exp_dir = os.path.join(root, "exp")
+    config = {
+        "exp_dir": exp_dir,
+        "data": csv_path,
+        "sample_rate": 16000,
+        "n_mels": 80,
+        "wav_len": 0.6,
+        "speed_pertub": False,
+        "aug_prob": 0.0,
+        "batch_size": 8,          # GLOBAL batch: 4 per process
+        "num_workers": 2,
+        "num_epoch": 1,
+        "model_parallel": 1,
+        "embedding_size": 32,
+        "max_lr": 0.05,
+        "min_lr": 0.001,
+        "warmup_epoch": 1,
+        "log_batch_freq": 1,
+        "model": {
+            "obj": "speaker3d_tpu.models.eres2netv2.ERes2NetV2",
+            "args": {"feat_dim": 80, "embedding_size": 32,
+                     "m_channels": 8, "num_blocks": [1, 1, 1, 1]},
+        },
+    }
+    cfg_path = os.path.join(root, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    _launch(["train_cli", cfg_path])
+
+    # rank-0-only writes: exactly one checkpoint tree, one config snapshot
+    ckpts = sorted(os.listdir(os.path.join(exp_dir, "models")))
+    assert ckpts == ["CKPT-EPOCH-1-00"], ckpts
+    assert os.path.isfile(os.path.join(exp_dir, "config.yaml"))
+    assert os.path.isfile(os.path.join(exp_dir, "train_epoch.log"))
+    with open(os.path.join(exp_dir, "train_epoch.log")) as f:
+        lines = [ln for ln in f if ln.strip()]
+    assert len(lines) == 1, lines  # one epoch logged once, not twice
+
+    # sharded extraction across the 2-process pod
+    scp = os.path.join(root, "wav.scp")
+    with open(scp, "w") as f:
+        for rid, path, _ in rows:
+            f.write(f"{rid} {path}\n")
+    emb_dir = os.path.join(exp_dir, "embeddings")
+    _launch(["extract_cli", "--exp_dir", exp_dir, "--data", scp,
+             "--out_dir", emb_dir, "--mode", "chunked",
+             "--batch_size", "4"])
+
+    shard0 = np.load(os.path.join(emb_dir, "embeddings_0.npz"))
+    shard1 = np.load(os.path.join(emb_dir, "embeddings_1.npz"))
+    k0, k1 = set(shard0.files), set(shard1.files)
+    assert k0 and k1 and not (k0 & k1), "shards must be disjoint"
+    assert k0 | k1 == {r[0] for r in rows}, "shards must cover all utts"
+
+    # values must match a single-process extraction of the same checkpoint
+    from speaker3d_tpu.cli.extract import main as extract_main
+
+    ref_dir = os.path.join(exp_dir, "embeddings_1proc")
+    extract_main(["--exp_dir", exp_dir, "--data", scp, "--out_dir", ref_dir,
+                  "--mode", "chunked", "--batch_size", "4"])
+    ref = np.load(os.path.join(ref_dir, "embeddings_0.npz"))
+    for key in ref.files:
+        shard = shard0 if key in k0 else shard1
+        np.testing.assert_allclose(shard[key], ref[key], atol=2e-4,
+                                   err_msg=key)
