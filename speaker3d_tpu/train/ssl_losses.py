@@ -158,7 +158,15 @@ def sdpn_loss(anchor_views, target_views, prototypes, proto_labels, *,
     if me_max:
         avg = jnp.mean(probs, axis=0)
         if axis_name is not None:
-            avg = jax.lax.pmean(avg, axis_name)
+            # The reference's AllReduce autograd fn (utils_rdino.py:21-36)
+            # averages in the FORWARD but is IDENTITY in the backward; DDP's
+            # grad-mean then makes the ME-MAX gradient exactly equal the
+            # single-process global-batch gradient. A plain pmean here would
+            # under-count that gradient by the axis size (its transpose
+            # divides by N a second time), so: pmean forward, identity
+            # backward. Pinned by test_sdpn_multi_device_matches_single_device.
+            avg = avg + jax.lax.stop_gradient(
+                jax.lax.pmean(avg, axis_name) - avg)
         rloss = (jnp.sum(avg * jnp.log(jnp.maximum(avg, 1e-12)))
                  + jnp.log(float(avg.shape[0])))
     return loss, rloss, targets

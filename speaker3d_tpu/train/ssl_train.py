@@ -309,7 +309,10 @@ def make_sdpn_train_step(model, cfg: SSLTrainConfig, mesh: Mesh,
             loss_fn, has_aux=True)(
                 (state["student"]["params"], state["prototypes"]))
         g_params = jax.lax.pmean(grads[0], "data")
-        # prototypes grads all-reduce-SUMMED (train_sdpn.py:224)
+        # prototypes grads all-reduce-SUMMED (train_sdpn.py:224): with W-way
+        # data parallelism the prototype gradient is W x the single-process
+        # global-batch gradient — the reference's linear-scaling behavior,
+        # kept deliberately (pinned by the N=1 proto_lr*N equivalence test).
         g_proto = jax.lax.psum(grads[1], "data")
 
         freeze_mask = (epoch_f >= cfg.freeze_last_layer).astype(jnp.float32)

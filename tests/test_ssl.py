@@ -225,3 +225,131 @@ def test_sdpn_train_step_smoke():
     assert np.isfinite(float(metrics["loss"]))
     p1 = np.asarray(jax.device_get(state["prototypes"]))
     assert np.abs(p1 - p0).max() > 0  # prototypes learn
+
+
+# ---------------------------------------------------------------------------
+# N=1 vs N=4 distributed-numerics equivalence (VERDICT r1 item 3): the
+# psum-sinkhorn, teacher centering, VICReg gather, ME-MAX and SyncBN terms
+# must make an N-device step equal the single-device step on the same global
+# batch. (KoLeo is per-rank BY REFERENCE SEMANTICS — torch computes it on the
+# local batch with no gather, loss/keleo_loss.py — so the SDPN equivalence
+# runs with koleo_weight=0; KoLeo itself is parity-tested above.)
+# ---------------------------------------------------------------------------
+
+
+def _synced_tiny_backbone():
+    import flax.linen as nn
+
+    from speaker3d_tpu.models.common import batch_norm
+
+    class TinyBackbone(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(16)(x)
+            x = batch_norm(train, name="bn")(x)
+            x = nn.relu(x)
+            return x.mean(axis=1)
+
+    return TinyBackbone()
+
+
+def _host(tree):
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+
+
+def _assert_trees_close(a, b, atol, rtol=1e-5):
+    fa = jax.tree_util.tree_flatten_with_path(a)[0]
+    fb = jax.tree_util.tree_flatten_with_path(b)[0]
+    assert [str(k) for k, _ in fa] == [str(k) for k, _ in fb]
+    for (k, va), (_, vb) in zip(fa, fb):
+        np.testing.assert_allclose(va, vb, atol=atol, rtol=rtol,
+                                   err_msg=str(k))
+
+
+def _run_ssl(variant, n_data, n_steps=3, proto_lr=0.02):
+    from speaker3d_tpu.parallel.mesh import make_mesh
+    from speaker3d_tpu.train.ssl_train import (
+        SSLTrainConfig,
+        init_ssl_state,
+        make_rdino_train_step,
+        make_sdpn_train_step,
+    )
+
+    mesh = make_mesh(n_data, 1, devices=jax.devices()[:n_data])
+    rngb = np.random.default_rng(42)
+    B = 8
+    if variant == "rdino":
+        from speaker3d_tpu.models.ssl_heads import RDINOCombiner, RDINOHead
+
+        cfg = SSLTrainConfig(out_dim=32, ncrops=4, step_per_epoch=2, epochs=3,
+                             warmup_epochs=1, base_lr=0.02,
+                             freeze_last_layer=1)
+        model = RDINOCombiner(
+            backbone=_synced_tiny_backbone(),
+            head=RDINOHead(out_dim=32, hidden_dim=16, bottleneck_dim=8,
+                           add_dim=12))
+        g_shape, l_shape = (B, 2, 20, 10), (B, 2, 10, 10)
+        make_step = make_rdino_train_step
+    else:
+        from speaker3d_tpu.models.ssl_heads import SDPNCombiner, SDPNHead
+
+        cfg = SSLTrainConfig(num_proto=12, output_dim=8, step_per_epoch=2,
+                             epochs=3, warmup_epochs=1, base_lr=0.02,
+                             num_local_views=4, koleo_weight=0.0,
+                             use_sinkhorn=True, proto_lr=proto_lr)
+        model = SDPNCombiner(backbone=_synced_tiny_backbone(),
+                             head=SDPNHead(hidden_dim=16, bottleneck_dim=8))
+        g_shape, l_shape = (B, 1, 20, 10), (B, 4, 10, 10)
+        make_step = make_sdpn_train_step
+
+    batches = []
+    for i in range(n_steps):
+        r = np.random.default_rng(100 + i)
+        batches.append({
+            "global_feats": r.standard_normal(g_shape).astype(np.float32),
+            "local_feats": r.standard_normal(l_shape).astype(np.float32),
+        })
+    state = init_ssl_state(jax.random.PRNGKey(3), model,
+                           batches[0]["global_feats"][0, :1], cfg, mesh,
+                           variant)
+    step = make_step(model, cfg, mesh, _host(state))
+    metrics_seq = []
+    for batch in batches:
+        state, metrics = step(state, batch)
+        metrics_seq.append({k: float(v) for k, v in metrics.items()})
+    return _host(state), metrics_seq
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_rdino_multi_device_matches_single_device():
+    s1, m1 = _run_ssl("rdino", 1)
+    s4, m4 = _run_ssl("rdino", 4)
+    for a, b in zip(m1, m4):
+        for key in ("loss", "dino_loss", "reg_loss"):
+            assert abs(a[key] - b[key]) < 2e-5, (key, a[key], b[key])
+    for part in ("student", "teacher", "momentum", "center"):
+        _assert_trees_close(s1[part], s4[part], atol=5e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sdpn_multi_device_matches_single_device():
+    """Reference semantics: prototype grads are all-reduce-SUMMED
+    (train_sdpn.py:224), so the N-device prototype gradient is N x the
+    single-process global-batch gradient by design. With SGD momentum that
+    is exactly equivalent to scaling proto_lr by N — so the N=4 run must
+    match an N=1 run with proto_lr*4, everywhere, to fp32 tolerance.
+    Everything else (CE pmean, identity-backward ME-MAX, sinkhorn psums,
+    SyncBN) must be N-invariant outright."""
+    s1, m1 = _run_ssl("sdpn", 1, proto_lr=0.08)
+    s4, m4 = _run_ssl("sdpn", 4, proto_lr=0.02)
+    for a, b in zip(m1, m4):
+        for key in ("loss", "ploss", "memax"):
+            assert abs(a[key] - b[key]) < 2e-5, (key, a[key], b[key])
+    for part in ("student", "teacher", "momentum", "prototypes",
+                 "proto_momentum"):
+        if part == "proto_momentum":
+            # momentum buffers carry the raw (N x) gradient scale
+            np.testing.assert_allclose(4.0 * s1[part], s4[part], atol=2e-4,
+                                       rtol=1e-5)
+            continue
+        _assert_trees_close(s1[part], s4[part], atol=5e-5)
