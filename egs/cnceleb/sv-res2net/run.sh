@@ -1,11 +1,66 @@
 #!/usr/bin/env bash
-# CNCeleb res2net recipe (reference: egs/cnceleb/sv-res2net/run.sh):
-# train on CNCeleb-dev + CNCeleb2, eval on the CNCeleb trial list.
+# CNCeleb res2net supervised SV recipe — staged pipeline mirroring the
+# reference (reference: egs/cnceleb/sv-res2net/run.sh): data prep ->
+# train -> large-margin finetune -> extract -> score.
+#
+# Multi-host note: instead of torchrun, run this script once per host; the
+# CLIs shard work by jax.process_index() (set SPEAKER3D_COORDINATOR_ADDRESS /
+# SPEAKER3D_NUM_PROCESSES / SPEAKER3D_PROCESS_ID per host for pods).
 set -euo pipefail
-cd "$(dirname "$0")"; REPO_ROOT=$(cd ../../.. && pwd); export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
-cnceleb_root=${CNCELEB_ROOT:-/data/cnceleb/wav}
+
+stage=${STAGE:-1}
+stop_stage=${STOP_STAGE:-6}
+cnceleb1_root=${CNCELEB1_ROOT:-/data/CN-Celeb_wav}
+cnceleb2_root=${CNCELEB2_ROOT:-/data/CN-Celeb2_wav}
+musan_root=${MUSAN_ROOT:-}
+rirs_root=${RIRS_ROOT:-}
 exp_dir=exp/res2net
-python "$REPO_ROOT/egs/local/prepare_csv.py" --wav_root "$cnceleb_root" --out data/train.csv
-python -m speaker3d_tpu.cli.train --config "$REPO_ROOT/configs/res2net.yaml" --data=data/train.csv --exp_dir=$exp_dir
-python -m speaker3d_tpu.cli.extract --exp_dir $exp_dir --data data/eval_wav.scp --out_dir $exp_dir/embeddings --mode exact
-python -m speaker3d_tpu.cli.compute_score_metrics --enrol_data $exp_dir/embeddings --test_data $exp_dir/embeddings --scores_dir $exp_dir/scores --trials "${TRIALS:-data/trials.lst}"
+data=data
+
+cd "$(dirname "$0")"
+REPO_ROOT=$(cd ../../.. && pwd)
+export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+
+if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
+  echo "stage 1: prepare corpus lists (train CSV, eval scp incl. enroll, trials)"
+  ../local/prepare_data.sh --data "$data" \
+    --cnceleb1_root "$cnceleb1_root" --cnceleb2_root "$cnceleb2_root" \
+    --musan_root "$musan_root" --rirs_root "$rirs_root"
+fi
+
+if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
+  echo "stage 2: eval wav.scp"
+  cp $data/eval/wav.scp $data/eval_wav.scp
+fi
+
+if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
+  echo "stage 3: train"
+  python -m speaker3d_tpu.cli.train \
+    --config "$REPO_ROOT/configs/res2net.yaml" \
+    --data=$data/train.csv --exp_dir=$exp_dir \
+    --noise=$data/musan/wav.scp --reverb=$data/rirs/wav.scp
+fi
+
+if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
+  echo "stage 4: large-margin finetune"
+  python -m speaker3d_tpu.cli.train \
+    --config "$REPO_ROOT/configs/res2net.yaml" \
+    --data=$data/train.csv --exp_dir=${exp_dir}_lm \
+    --init_exp_dir=$exp_dir \
+    --wav_len=6.0 --max_lr=0.0001 --min_lr=0.00001 \
+    --initial_margin=0.5 --final_margin=0.5 --num_epoch=7 --batch_size=108
+fi
+
+if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
+  echo "stage 5: extract eval embeddings"
+  python -m speaker3d_tpu.cli.extract --exp_dir $exp_dir \
+    --data $data/eval_wav.scp --out_dir $exp_dir/embeddings --mode exact
+fi
+
+if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
+  echo "stage 6: score CNCeleb trials"
+  python -m speaker3d_tpu.cli.compute_score_metrics \
+    --enrol_data $exp_dir/embeddings --test_data $exp_dir/embeddings \
+    --scores_dir $exp_dir/scores --trials $data/cnceleb_test/trials \
+    --p_target 0.01
+fi

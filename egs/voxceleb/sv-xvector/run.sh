@@ -1,17 +1,19 @@
 #!/usr/bin/env bash
 # VoxCeleb xvector supervised SV recipe — staged pipeline mirroring the
-# reference recipe (reference: egs/voxceleb/sv-xvector/run.sh): data prep
-# -> train -> large-margin finetune -> extract -> score.
+# reference (reference: egs/voxceleb/sv-xvector/run.sh): data prep ->
+# train -> large-margin finetune -> extract -> score.
 #
 # Multi-host note: instead of torchrun, run this script once per host; the
-# CLIs shard work by jax.process_index() (initialize jax.distributed via
-# JAX_COORDINATOR_ADDRESS etc. for multi-host pods).
+# CLIs shard work by jax.process_index() (set SPEAKER3D_COORDINATOR_ADDRESS /
+# SPEAKER3D_NUM_PROCESSES / SPEAKER3D_PROCESS_ID per host for pods).
 set -euo pipefail
 
-stage=1
-stop_stage=6
+stage=${STAGE:-1}
+stop_stage=${STOP_STAGE:-6}
 voxceleb2_root=${VOXCELEB2_ROOT:-/data/voxceleb2/dev/wav}
 voxceleb1_root=${VOXCELEB1_ROOT:-/data/voxceleb1/test/wav}
+musan_root=${MUSAN_ROOT:-}
+rirs_root=${RIRS_ROOT:-}
 trials=${TRIALS:-data/veri_test2.txt}
 exp_dir=exp/xvector
 data=data
@@ -21,32 +23,32 @@ REPO_ROOT=$(cd ../../.. && pwd)
 export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
-  echo "stage 1: prepare training CSV"
-  python "$REPO_ROOT/egs/local/prepare_csv.py" \
-    --wav_root "$voxceleb2_root" --out $data/train.csv
+  echo "stage 1: prepare corpus lists (train CSV, eval scp, trials)"
+  ../local/prepare_data.sh --data "$data" \
+    --voxceleb2_root "$voxceleb2_root" --voxceleb1_root "$voxceleb1_root" \
+    --musan_root "$musan_root" --rirs_root "$rirs_root" --trials "$trials"
 fi
 
 if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
-  echo "stage 2: prepare eval wav.scp"
-  mkdir -p $data
-  find "$voxceleb1_root" -name '*.wav' | \
-    awk -F/ '{id=$(NF-2)"_"$(NF-1)"_"$NF; sub(/\.wav$/,"",id); print id, $0}' \
-    > $data/eval_wav.scp
+  echo "stage 2: eval wav.scp (vox1 keys)"
+  cp $data/vox1/wav.scp $data/eval_wav.scp
 fi
 
 if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
-  echo "stage 3: train (70 epochs, 3s crops)"
+  echo "stage 3: train"
   python -m speaker3d_tpu.cli.train \
     --config "$REPO_ROOT/configs/xvector.yaml" \
-    --data=$data/train.csv --exp_dir=$exp_dir
+    --data=$data/train.csv --exp_dir=$exp_dir \
+    --noise=$data/musan/wav.scp --reverb=$data/rirs/wav.scp
 fi
 
 if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   echo "stage 4: large-margin finetune (6s crops, fixed margin 0.5)"
-  # (reference: run.sh:40-50 — copy ckpt, epochs 70->77, lr 1e-4, margin .5)
+  # (reference: run.sh — copy ckpt, 7 extra epochs, lr 1e-4, margin .5)
   python -m speaker3d_tpu.cli.train \
     --config "$REPO_ROOT/configs/xvector.yaml" \
     --data=$data/train.csv --exp_dir=${exp_dir}_lm \
+    --init_exp_dir=$exp_dir \
     --wav_len=6.0 --max_lr=0.0001 --min_lr=0.00001 \
     --initial_margin=0.5 --final_margin=0.5 --num_epoch=7 --batch_size=108
 fi
@@ -59,7 +61,11 @@ fi
 
 if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   echo "stage 6: score trials (EER / minDCF)"
-  python -m speaker3d_tpu.cli.compute_score_metrics \
-    --enrol_data $exp_dir/embeddings --test_data $exp_dir/embeddings \
-    --scores_dir $exp_dir/scores --trials "$trials" --p_target 0.01
+  for trial in $data/vox1/trials/*.trial; do
+    [ -f "$trial" ] || continue
+    name=$(basename "$trial" .trial)
+    python -m speaker3d_tpu.cli.compute_score_metrics \
+      --enrol_data $exp_dir/embeddings --test_data $exp_dir/embeddings \
+      --scores_dir $exp_dir/scores_$name --trials "$trial" --p_target 0.01
+  done
 fi

@@ -26,11 +26,24 @@ from speaker3d_tpu.parallel.mesh import process_shard
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="Speaker-attributed transcripts")
     p.add_argument("--rttm_dir", required=True)
-    p.add_argument("--asr_dir", required=True,
-                   help="<rec_id>.json ASR results (text/raw_text/timestamp)")
+    p.add_argument("--asr_dir", default=None,
+                   help="<rec_id>.json ASR results (text/raw_text/timestamp) "
+                        "from any external engine")
+    p.add_argument("--asr_exp_dir", default=None,
+                   help="in-repo CTC ASR experiment (cli/train_asr_ctc.py): "
+                        "transcribe --wav_dir recordings natively instead "
+                        "of reading --asr_dir JSONs")
+    p.add_argument("--wav_dir", default=None,
+                   help="<rec_id>.wav recordings (required with "
+                        "--asr_exp_dir)")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--merge_gap_s", type=float, default=2.0)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if bool(args.asr_dir) == bool(args.asr_exp_dir):
+        p.error("exactly one of --asr_dir / --asr_exp_dir is required")
+    if args.asr_exp_dir and not args.wav_dir:
+        p.error("--asr_exp_dir requires --wav_dir")
+    return args
 
 
 def load_rttm_fields(path):
@@ -51,15 +64,30 @@ def main(argv=None):
 
     args = get_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
+    transcriber = None
+    if args.asr_exp_dir:
+        from speaker3d_tpu.asr.ctc import CTCTranscriber
+
+        transcriber = CTCTranscriber(args.asr_exp_dir)
     rec_ids = sorted(os.path.splitext(p)[0]
                      for p in os.listdir(args.rttm_dir) if p.endswith(".rttm"))
     for rec_id in process_shard(rec_ids):
-        asr_path = os.path.join(args.asr_dir, rec_id + ".json")
-        if not os.path.isfile(asr_path):
-            print(f"[WARNING] no ASR json for {rec_id}, skipped")
-            continue
-        with open(asr_path) as f:
-            asr = json.load(f)
+        if transcriber is not None:
+            from speaker3d_tpu.utils.fileio import load_audio
+
+            wav_path = os.path.join(args.wav_dir, rec_id + ".wav")
+            if not os.path.isfile(wav_path):
+                print(f"[WARNING] no wav for {rec_id}, skipped")
+                continue
+            wav = load_audio(wav_path, obj_fs=16000)[0]
+            asr = transcriber.transcribe(wav)
+        else:
+            asr_path = os.path.join(args.asr_dir, rec_id + ".json")
+            if not os.path.isfile(asr_path):
+                print(f"[WARNING] no ASR json for {rec_id}, skipped")
+                continue
+            with open(asr_path) as f:
+                asr = json.load(f)
         fields = load_rttm_fields(os.path.join(args.rttm_dir,
                                                rec_id + ".rttm"))
         utts = attribute_transcript(asr, fields, args.merge_gap_s)

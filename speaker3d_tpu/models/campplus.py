@@ -20,11 +20,13 @@ TPU-first notes
 from __future__ import annotations
 
 import flax.linen as nn
+
+from speaker3d_tpu.models.common import batch_norm
 import jax.numpy as jnp
 
 
 def _bn(train: bool, name: str, affine: bool = True):
-    return nn.BatchNorm(use_running_average=not train, use_bias=affine,
+    return batch_norm(train, use_bias=affine,
                         use_scale=affine, name=name)
 
 

@@ -13,6 +13,8 @@ mesh axis and computes the AAM-softmax with psum collectives
 from __future__ import annotations
 
 import flax.linen as nn
+
+from speaker3d_tpu.models.common import batch_norm
 import jax.numpy as jnp
 
 
@@ -34,7 +36,7 @@ class CosineClassifier(nn.Module):
         for i in range(self.num_blocks):
             x = nn.Dense(self.inter_dim, use_bias=False,
                          name=f"blocks.{i}.linear")(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = batch_norm(train,
                              name=f"blocks.{i}.nonlinear.batchnorm")(x)
             dim = self.inter_dim
         # torch layout [out_neurons, dim] kept for mechanical conversion
@@ -56,7 +58,7 @@ class LinearClassifier(nn.Module):
         x = nn.relu(x)
         for i in range(self.num_blocks):
             x = nn.Dense(self.inter_dim, name=f"blocks.{i}.linear")(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = batch_norm(train,
                              name=f"blocks.{i}.nonlinear.batchnorm")(x)
             x = nn.relu(x)
         return nn.Dense(self.out_neurons, name="linear")(x)

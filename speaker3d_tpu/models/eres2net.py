@@ -22,6 +22,8 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+
+from speaker3d_tpu.models.common import batch_norm
 import jax.numpy as jnp
 
 from speaker3d_tpu.models.eres2netv2 import AFF, BasicBlockERes2NetV2
@@ -50,7 +52,7 @@ class ERes2Net(nn.Module):
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         out = nn.Conv(m, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                       name="conv1")(x)
-        out = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(out))
+        out = nn.relu(batch_norm(train, name="bn1")(out))
 
         in_planes = m
         block_cls = (nn.remat(BasicBlockERes2NetV2, static_argnums=(2,))
@@ -88,7 +90,7 @@ class ERes2Net(nn.Module):
         embed_a = nn.Dense(self.embedding_size, name="seg_1")(stats)
         if self.two_emb_layer:
             out = nn.relu(embed_a)
-            out = nn.BatchNorm(use_running_average=not train, use_bias=False,
+            out = batch_norm(train, use_bias=False,
                                use_scale=False, name="seg_bn_1")(out)
             return nn.Dense(self.embedding_size, name="seg_2")(out)
         return embed_a

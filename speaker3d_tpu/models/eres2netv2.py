@@ -25,6 +25,8 @@ import math
 from typing import Sequence
 
 import flax.linen as nn
+
+from speaker3d_tpu.models.common import batch_norm
 import jax.numpy as jnp
 
 from speaker3d_tpu.models.pooling import POOLING_FUNCS
@@ -47,10 +49,10 @@ class AFF(nn.Module):
         inter = self.channels // self.r
         h = jnp.concatenate([x, ds_y], axis=-1)
         h = nn.Conv(inter, (1, 1), name="local_att.0")(h)
-        h = nn.BatchNorm(use_running_average=not train, name="local_att.1")(h)
+        h = batch_norm(train, name="local_att.1")(h)
         h = nn.silu(h)
         h = nn.Conv(self.channels, (1, 1), name="local_att.3")(h)
-        h = nn.BatchNorm(use_running_average=not train, name="local_att.4")(h)
+        h = batch_norm(train, name="local_att.4")(h)
         att = 1.0 + jnp.tanh(h)
         return x * att + ds_y * (2.0 - att)
 
@@ -72,7 +74,7 @@ class BasicBlockERes2NetV2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(math.floor(self.planes * (self.base_width / 64.0)))
-        norm = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+        norm = lambda name: batch_norm(train, name=name)
 
         out = nn.Conv(width * self.scale, (1, 1), strides=(self.stride, self.stride),
                       use_bias=False, name="conv1")(x)
@@ -140,7 +142,7 @@ class ERes2NetV2(nn.Module):
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         out = nn.Conv(self.m_channels, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False, name="conv1")(x)
-        out = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(out))
+        out = nn.relu(batch_norm(train, name="bn1")(out))
 
         in_planes = self.m_channels
 
@@ -174,7 +176,7 @@ class ERes2NetV2(nn.Module):
         embed_a = nn.Dense(self.embedding_size, name="seg_1")(stats)
         if self.two_emb_layer:
             out = nn.relu(embed_a)
-            out = nn.BatchNorm(use_running_average=not train, use_bias=False,
+            out = batch_norm(train, use_bias=False,
                                use_scale=False, name="seg_bn_1")(out)
             return nn.Dense(self.embedding_size, name="seg_2")(out)
         return embed_a

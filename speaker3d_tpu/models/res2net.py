@@ -12,6 +12,8 @@ import math
 from typing import Sequence
 
 import flax.linen as nn
+
+from speaker3d_tpu.models.common import batch_norm
 import jax.numpy as jnp
 
 from speaker3d_tpu.models.eres2netv2 import relu20
@@ -31,7 +33,7 @@ class BasicBlockRes2Net(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(math.floor(self.planes * (self.base_width / 64.0)))
-        norm = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+        norm = lambda name: batch_norm(train, name=name)
         nums = self.scale - 1
 
         out = nn.Conv(width * self.scale, (1, 1),
@@ -82,7 +84,7 @@ class Res2Net(nn.Module):
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         out = nn.Conv(self.m_channels, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False, name="conv1")(x)
-        out = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(out))
+        out = nn.relu(batch_norm(train, name="bn1")(out))
 
         in_planes = self.m_channels
         for idx, (planes_mult, blocks, stride) in enumerate(
@@ -100,7 +102,7 @@ class Res2Net(nn.Module):
         embed_a = nn.Dense(self.embedding_size, name="seg_1")(stats)
         if self.two_emb_layer:
             out = nn.relu(embed_a)
-            out = nn.BatchNorm(use_running_average=not train, use_bias=False,
+            out = batch_norm(train, use_bias=False,
                                use_scale=False, name="seg_bn_1")(out)
             return nn.Dense(self.embedding_size, name="seg_2")(out)
         return embed_a

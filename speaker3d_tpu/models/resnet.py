@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+
+from speaker3d_tpu.models.common import batch_norm
 import jax.numpy as jnp
 
 from speaker3d_tpu.models.pooling import POOLING_FUNCS
@@ -24,7 +26,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+        norm = lambda name: batch_norm(train, name=name)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
         out = nn.relu(norm("bn1")(out))
@@ -55,7 +57,7 @@ class ResNet(nn.Module):
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         out = nn.Conv(self.m_channels, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False, name="conv1")(x)
-        out = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(out))
+        out = nn.relu(batch_norm(train, name="bn1")(out))
 
         in_planes = self.m_channels
         for idx, (mult, blocks, stride) in enumerate(
@@ -71,7 +73,7 @@ class ResNet(nn.Module):
         embed_a = nn.Dense(self.embedding_size, name="seg_1")(stats)
         if self.two_emb_layer:
             out = nn.relu(embed_a)
-            out = nn.BatchNorm(use_running_average=not train, use_bias=False,
+            out = batch_norm(train, use_bias=False,
                                use_scale=False, name="seg_bn_1")(out)
             return nn.Dense(self.embedding_size, name="seg_2")(out)
         return embed_a

@@ -21,6 +21,8 @@ rngs when the ASD trainer runs); module names mirror the torch state_dict.
 from __future__ import annotations
 
 import flax.linen as nn
+
+from speaker3d_tpu.models.common import batch_norm
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,7 +91,7 @@ class SEBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+        norm = lambda name: batch_norm(train, name=name)
         out = nn.Conv(self.planes, (3, 3), strides=self.stride,
                       padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
         out = norm("bn1")(nn.relu(out))
@@ -123,7 +125,7 @@ class AudioEncoder(nn.Module):
         x = jnp.transpose(x, (0, 2, 1))[..., None]
         x = nn.Conv(self.num_filters[0], (7, 7), strides=(2, 1),
                     padding=((3, 3), (3, 3)), use_bias=False, name="conv1")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(x))
+        x = nn.relu(batch_norm(train, name="bn1")(x))
 
         inplanes = self.num_filters[0]
         strides = [(1, 1), (2, 2), (2, 2), (1, 1)]
@@ -148,7 +150,7 @@ class ResNetLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+        norm = lambda name: batch_norm(train,
                                          momentum=0.99, epsilon=0.001,
                                          name=name)
         b = nn.Conv(self.outplanes, (3, 3), strides=(self.stride, self.stride),
@@ -184,7 +186,7 @@ class VisualFrontend(nn.Module):
         v = nn.Conv(64, (5, 7, 7), strides=(1, 2, 2),
                     padding=((2, 2), (3, 3), (3, 3)), use_bias=False,
                     name="frontend3D.0")(v)
-        v = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        v = batch_norm(train, momentum=0.99,
                          epsilon=0.001, name="frontend3D.1")(v)
         v = nn.relu(v)
         v = nn.max_pool(v, (1, 3, 3), strides=(1, 2, 2),
@@ -220,7 +222,7 @@ class DSConv1d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = nn.relu(x)
-        out = nn.BatchNorm(use_running_average=not train, name="net.1")(out)
+        out = batch_norm(train, name="net.1")(out)
         out = nn.Conv(512, (3,), padding=((1, 1),), feature_group_count=512,
                       use_bias=False, name="net.2")(out)
         alpha = self.param("net.3.weight",
@@ -247,7 +249,7 @@ class TalkNetModel(nn.Module):
         for i in range(5):
             v = DSConv1d(name=f"visualTCN.net.{i}")(v, train)
         v = nn.Conv(256, (5,), padding=((2, 2),), name="visualConv1D.net.0")(v)
-        v = nn.BatchNorm(use_running_average=not train,
+        v = batch_norm(train,
                          name="visualConv1D.net.1")(v)
         v = nn.relu(v)
         v = nn.Conv(128, (1,), name="visualConv1D.net.3")(v)

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import flax.linen as nn
 
+from speaker3d_tpu.models.common import batch_norm
+
 from speaker3d_tpu.models.pooling import POOLING_FUNCS
 
 
@@ -26,7 +28,7 @@ class TdnnLayer(nn.Module):
                     kernel_dilation=(self.dilation,), padding="VALID",
                     name="conv_1d")(x)
         x = nn.relu(x)
-        return nn.BatchNorm(use_running_average=not train, use_bias=False,
+        return batch_norm(train, use_bias=False,
                             use_scale=False, name="bn")(x)
 
 

@@ -177,14 +177,25 @@ def make_sv_train_step(model, cfg: SVTrainConfig, mesh: Mesh,
         half = cfg.compute_dtype == "bfloat16"
 
         def backbone_fwd(bb_params, feats):
+            import contextlib
+
+            from speaker3d_tpu.models.common import bn_compute_dtype
+
+            ctx = contextlib.nullcontext()
             if half:
                 bb_params = jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16)
                     if x.dtype == jnp.float32 else x, bb_params)
                 feats = feats.astype(jnp.bfloat16)
-            out, mutated = model.apply(
-                {"params": bb_params, "batch_stats": state["batch_stats"]},
-                feats, train=True, mutable=["batch_stats"])
+                # BN normalization/output in bf16 (stats still accumulate
+                # f32): without this, flax BN promotes through the f32
+                # running stats and the normalize pass runs in f32
+                ctx = bn_compute_dtype(jnp.bfloat16)
+            with ctx:
+                out, mutated = model.apply(
+                    {"params": bb_params,
+                     "batch_stats": state["batch_stats"]},
+                    feats, train=True, mutable=["batch_stats"])
             if half:
                 out = out.astype(jnp.float32)
                 mutated = {"batch_stats": jax.tree_util.tree_map(

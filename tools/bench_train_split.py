@@ -32,6 +32,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
     model_name = sys.argv[3] if len(sys.argv) > 3 else "eres2netv2"
+    bn_bf16 = len(sys.argv) > 4 and sys.argv[4] == "bnbf16"
 
     import jax
     import jax.numpy as jnp
@@ -67,14 +68,22 @@ def main():
     def l2norm(x):
         return x / jnp.sqrt(jnp.sum(x * x, -1, keepdims=True) + 1e-12)
 
+    import contextlib
+
+    from speaker3d_tpu.models.common import bn_compute_dtype
+
     def loss_fn(trainable, w):
         params, w_cls = trainable
         half = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
         feats = fbank(w).astype(jnp.bfloat16)
-        emb, _ = model.apply({"params": half, "batch_stats": batch_stats},
-                             feats, train=True, mutable=["batch_stats"])
+        ctx = bn_compute_dtype(jnp.bfloat16) if bn_bf16 \
+            else contextlib.nullcontext()
+        with ctx:
+            emb, _ = model.apply({"params": half,
+                                  "batch_stats": batch_stats},
+                                 feats, train=True, mutable=["batch_stats"])
         emb = emb.astype(jnp.float32)
         cos = l2norm(emb) @ l2norm(w_cls).T
         ce = arc_margin_loss(cos, labels, margin=0.2, scale=32.0)
@@ -107,12 +116,12 @@ def main():
 
     fwd, c1 = bench("fwd")
     print(json.dumps({"phase": "fwd_only", "model": model_name,
-                      "batch": batch, "remat": remat,
+                      "batch": batch, "remat": remat, "bn_bf16": bn_bf16,
                       "audio_s_per_s": round(fwd, 1),
                       "compile_s": round(c1, 1)}), flush=True)
     full, c2 = bench("grad")
     print(json.dumps({"phase": "fwd_bwd", "model": model_name,
-                      "batch": batch, "remat": remat,
+                      "batch": batch, "remat": remat, "bn_bf16": bn_bf16,
                       "audio_s_per_s": round(full, 1),
                       "compile_s": round(c2, 1),
                       "bwd_over_fwd": round(fwd / full - 1.0, 2)}),
