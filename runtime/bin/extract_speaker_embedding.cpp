@@ -2,44 +2,69 @@
 //
 // Behavioral contract (reference: runtime/onnxruntime/bin/
 // extract_speaker_embedding.cpp:79-125): read a wav.scp, per utterance decode
-// + fbank (native) + model forward (XLA via embedded bridge), write one
-// embedding text file per utterance, report total wall-clock vs audio
-// duration (real-time factor).
+// + fbank (native) + model forward, write one embedding text file per
+// utterance, report total wall-clock vs audio duration (real-time factor).
+//
+// Two engines:
+//   bridge (default) — XLA via the embedded-CPython bridge (model_spec is
+//     a registry id or experiment dir);
+//   aot — standalone PJRT C API execution of an exported StableHLO module
+//     (model_spec is the cli/export_speaker_embedding.py --aot_dir output;
+//     no Python involved — the reference's ONNX-Runtime-only binary
+//     equivalent, reference: bin/extract_speaker_embedding.cpp:79).
 //
 // Usage: extract_speaker_embedding <wav.scp> <out_dir> <model_spec>
+//        [--engine bridge|aot] [--plugin /path/libpjrt.so]
 //        [--local_model_dir DIR] [--repo_root DIR]
 
 #include <chrono>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <memory>
 #include <sstream>
 #include <string>
 
 #include "s3d/embedder.h"
 #include "s3d/fbank.h"
+#include "s3d/pjrt_engine.h"
 #include "s3d/wav.h"
 
 int main(int argc, char** argv) {
   if (argc < 4) {
     std::fprintf(stderr,
                  "usage: %s <wav.scp> <out_dir> <model_spec> "
+                 "[--engine bridge|aot] [--plugin SO] "
                  "[--local_model_dir DIR] [--repo_root DIR]\n",
                  argv[0]);
     return 1;
   }
   std::string local_model_dir = "pretrained";
   std::string repo_root = ".";
+  std::string engine = "bridge";
+  std::string plugin = "/opt/axon/libaxon_pjrt.so";
+  if (const char* env = std::getenv("SPEAKER3D_PJRT_PLUGIN")) plugin = env;
   for (int i = 4; i + 1 < argc; ++i) {
     if (std::strcmp(argv[i], "--local_model_dir") == 0)
       local_model_dir = argv[i + 1];
     if (std::strcmp(argv[i], "--repo_root") == 0) repo_root = argv[i + 1];
+    if (std::strcmp(argv[i], "--engine") == 0) engine = argv[i + 1];
+    if (std::strcmp(argv[i], "--plugin") == 0) plugin = argv[i + 1];
   }
 
   s3d::FbankOptions opts;
   opts.mean_norm = true;
   s3d::FbankComputer fbank(opts);
-  s3d::Embedder embedder(argv[3], local_model_dir, repo_root);
+  std::unique_ptr<s3d::PjrtEngine> aot;
+  std::unique_ptr<s3d::Embedder> bridge;
+  if (engine == "aot") {
+    aot.reset(new s3d::PjrtEngine(plugin, argv[3]));
+  } else {
+    bridge.reset(new s3d::Embedder(argv[3], local_model_dir, repo_root));
+  }
+  auto embed = [&](const std::vector<std::vector<float>>& feats) {
+    return aot ? aot->Embed(feats) : bridge->Embed(feats);
+  };
 
   std::ifstream scp(argv[1]);
   if (!scp) {
@@ -59,7 +84,7 @@ int main(int argc, char** argv) {
     const s3d::WavData wav = s3d::ReadWav(path);
     total_audio_s += static_cast<double>(wav.samples.size()) / wav.sample_rate;
     const auto feats = fbank.Compute(wav.samples);
-    const auto emb = embedder.Embed(feats);
+    const auto emb = embed(feats);
 
     const std::string out_path = std::string(argv[2]) + "/" + utt + ".emb";
     std::FILE* f = std::fopen(out_path.c_str(), "w");

@@ -62,12 +62,54 @@ def load_exported(path):
     return exp.call
 
 
+def export_aot_artifact(model, variables, out_dir, *, feat_dim=80,
+                        frames=300, batch=1, precision="high"):
+    """Write the RAW StableHLO bytecode + meta for the standalone native
+    runtime (runtime/src/pjrt_engine.cpp): a PJRT plugin compiles
+    <out_dir>/model.mlir.bc directly (PJRT_Program format "mlir"), no
+    Python involved. Static shapes — PJRT compiles a concrete program.
+    Returns the meta dict."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    def fn(feature):
+        with jax.default_matmul_precision(precision):
+            return model.apply(variables, feature)
+
+    exp = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((batch, frames, feat_dim), jnp.float32))
+    (emb_shape,) = [o.shape for o in exp.out_avals]
+    meta = {"frames": frames, "feat_dim": feat_dim, "batch": batch,
+            "embedding_dim": int(emb_shape[-1]),
+            "input": "feature [B, T, 80] float32",
+            "output": "embedding [B, D] float32",
+            "format": "stablehlo mlir bytecode (PJRT_Program 'mlir')"}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.mlir.bc"), "wb") as f:
+        f.write(exp.mlir_module_serialized)
+    # textual form as well: some PJRT plugins reject versioned portable
+    # bytecode but take textual StableHLO (the C++ engine tries .bc first)
+    with open(os.path.join(out_dir, "model.mlir"), "w") as f:
+        f.write(exp.mlir_module())
+    with open(os.path.join(out_dir, "aot.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="Export speaker embedding model")
     p.add_argument("--exp_dir", default=None)
     p.add_argument("--model_id", default=None)
     p.add_argument("--local_model_dir", default="pretrained")
     p.add_argument("--out", required=True, help="output .stablehlo path")
+    p.add_argument("--aot_dir", default=None,
+                   help="also write model.mlir.bc + aot.json for the "
+                        "standalone C++ PJRT runtime "
+                        "(extract_speaker_embedding --engine aot)")
     p.add_argument("--frames", type=int, default=300)
     p.add_argument("--feat_dim", type=int, default=80)
     return p.parse_args(argv)
@@ -113,6 +155,13 @@ def main(argv=None):
     with open(args.out + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     print(f"exported {len(blob)} bytes -> {args.out} (meta: {meta})")
+
+    if args.aot_dir:
+        aot_meta = export_aot_artifact(model, variables,
+                                       args.aot_dir,
+                                       feat_dim=args.feat_dim,
+                                       frames=args.frames)
+        print(f"AOT artifact -> {args.aot_dir} (meta: {aot_meta})")
 
 
 if __name__ == "__main__":

@@ -3,12 +3,18 @@
 Runs the production compiled multi-crop step (melspec on device, student
 fwd over global+local crops, teacher fwd, DINO/SDPN loss with
 centering/sinkhorn, clip, SGD, teacher EMA) on synthetic crops and reports
-audio-seconds/s/chip. Sequential dispatch with a final fetch — the same
-methodology (and tunnel-transfer caveat) as tools/bench_train.py.
+audio-seconds/s/chip.
+
+Default methodology: in-jit lax.fori_loop around the step with
+per-iteration input variation and a params checksum fetch (docs/DESIGN.md)
+— the device-capability number comparable to the supervised rows in
+docs/BENCH.md. Pass `seq` as the 3rd arg for the old sequential-dispatch
+mode (each step re-uploads the wav batch through the tunnel; that mode
+understates device capability on this harness).
 
 Run from /root/repo (cwd supplies the import path — no PYTHONPATH on TPU):
     python -c "exec(open('tools/bench_train_ssl.py').read())" \
-        [variant(rdino|sdpn)] [batch]
+        [variant(rdino|sdpn)] [batch] [seq]
 """
 
 import json
@@ -67,19 +73,47 @@ def main():
                  else make_sdpn_train_step)
     step_fn = make_step(model, cfg, mesh, host, feature_fn=melspec)
 
-    batch_d = {"global_wavs": glb, "local_wavs": loc}
-    state, metrics = step_fn(state, batch_d)            # compile
-    _ = float(next(iter(metrics.values())))             # force
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step_fn(state, batch_d)
-    _ = float(next(iter(metrics.values())))             # fetch = completion
-    elapsed = time.perf_counter() - t0
+    sequential = len(sys.argv) > 3 and sys.argv[3] == "seq"
+    if sequential:
+        batch_d = {"global_wavs": glb, "local_wavs": loc}
+        state, metrics = step_fn(state, batch_d)            # compile
+        _ = float(next(iter(metrics.values())))             # force
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, metrics = step_fn(state, batch_d)
+        _ = float(next(iter(metrics.values())))             # fetch
+        elapsed = time.perf_counter() - t0
+    else:
+        import jax.numpy as jnp
+
+        glb_d = jax.device_put(glb)
+        loc_d = jax.device_put(loc)
+
+        def loop(st, g, l):
+            def body(i, s):
+                scale = 1.0 + i.astype(jnp.float32) * 1e-6
+                s, _ = step_fn(s, {"global_wavs": g * scale,
+                                   "local_wavs": l * scale})
+                return s
+            st = jax.lax.fori_loop(0, STEPS, body, st)
+            # checksum over the UPDATED params so XLA can't DCE the body
+            return sum(jnp.sum(jnp.abs(p).astype(jnp.float32))
+                       for p in jax.tree_util.tree_leaves(
+                           st["student"]["params"]))
+
+        run = jax.jit(loop)
+        checksum = float(run(state, glb_d, loc_d))   # compile + warm
+        assert np.isfinite(checksum)
+        t0 = time.perf_counter()
+        checksum = float(run(state, glb_d, loc_d))
+        elapsed = time.perf_counter() - t0
+        assert np.isfinite(checksum)
 
     audio_s = batch * (glb_num * GLB_SECONDS + local_num * LOC_SECONDS)
     print(json.dumps({
         "metric": "ssl_train_throughput", "variant": variant,
         "batch": batch, "steps": STEPS,
+        "mode": "sequential" if sequential else "in-jit",
         "value": round(audio_s * STEPS / elapsed, 1),
         "unit": "audio-seconds/s/chip",
         "utts_per_s": round(batch * STEPS / elapsed, 1),
