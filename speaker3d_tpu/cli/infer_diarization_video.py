@@ -48,6 +48,14 @@ def get_args(argv=None):
     p.add_argument("--fps", type=float, default=25.0)
     p.add_argument("--yunet_onnx", default=None)
     p.add_argument("--face_boxes_json", default=None)
+    p.add_argument("--face_detector_exp_dir", default=None,
+                   help="in-repo trained detector "
+                        "(cli/train_face_detector.py) — the no-ONNX path")
+    p.add_argument("--face_threshold", type=float, default=0.35)
+    p.add_argument("--face_min_quality", type=float, default=0.0,
+                   help="drop tracks whose mean crop sharpness "
+                        "(variance-of-Laplacian, the fqa.onnx stand-in) "
+                        "is below this")
     p.add_argument("--face_embed_onnx", default=None)
     p.add_argument("--asd_exp_dir", default=None)
     p.add_argument("--speaker_num", type=int, default=None)
@@ -125,9 +133,15 @@ def build_face_detector(args, src_idx_iter=None):
             return [tuple(f[:4]) for f in faces]
 
         return detector
-    raise RuntimeError("no face detector: pass --yunet_onnx or "
-                       "--face_boxes_json (reference downloads "
-                       "version-RFB-320 from modelscope)")
+    if args.face_detector_exp_dir:
+        from speaker3d_tpu.models.face_detector import load_face_detector_exp
+
+        return load_face_detector_exp(args.face_detector_exp_dir,
+                                      threshold=args.face_threshold)
+    raise RuntimeError("no face detector: pass --face_detector_exp_dir "
+                       "(train one with cli/train_face_detector.py), "
+                       "--yunet_onnx, or --face_boxes_json (reference "
+                       "downloads version-RFB-320 from modelscope)")
 
 
 def build_face_embedder(args):
@@ -249,7 +263,8 @@ def main(argv=None):
             yield t
 
     detector = build_face_detector(args, src_idx_iter=src_idx_iter)
-    tracks = build_face_tracks(frames, times_with_spacing(), detector)
+    tracks = build_face_tracks(frames, times_with_spacing(), detector,
+                               min_quality=args.face_min_quality)
     frame_spacing = ((spacing["second"] - spacing["first"])
                      if spacing["second"] is not None else 1.0 / args.fps)
     actual_fps = 1.0 / max(frame_spacing, 1e-6)

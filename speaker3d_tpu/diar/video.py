@@ -26,6 +26,40 @@ from typing import Callable, List, Optional, Sequence
 import numpy as np
 
 
+def resize_bilinear(patch: np.ndarray, size: int) -> np.ndarray:
+    """Vectorized numpy bilinear resize to [size, size] (cv2-free; replaces
+    the r1 nearest-neighbour fallback — reference crops go through cv2's
+    bilinear, local/vision_processer.py)."""
+    h, w = patch.shape[:2]
+    if h == 0 or w == 0:
+        return np.zeros((size, size), patch.dtype)
+    # cv2's pixel-center alignment: sample at (i + 0.5) * scale - 0.5
+    fy = np.clip((np.arange(size) + 0.5) * (h / size) - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(size) + 0.5) * (w / size) - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None]
+    wx = (fx - x0)[None, :]
+    p = patch.astype(np.float32)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(patch.dtype
+                                              if patch.dtype == np.float32
+                                              else np.float32)
+
+
+def crop_sharpness(crops: np.ndarray) -> float:
+    """Mean variance-of-Laplacian over a track's crops — the in-repo
+    stand-in for the reference's fqa.onnx face-quality scores: blurred /
+    featureless crops (occlusions, motion blur, mis-tracks) score low."""
+    p = crops.astype(np.float32)
+    lap = (p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2]
+           + p[:, 1:-1, 2:] - 4.0 * p[:, 1:-1, 1:-1])
+    return float(np.mean(np.var(lap.reshape(lap.shape[0], -1), axis=1)))
+
+
 @dataclasses.dataclass
 class FaceTrack:
     """A contiguous single-face track."""
@@ -43,9 +77,13 @@ class FaceTrack:
 
 def build_face_tracks(frames: Sequence[np.ndarray], frame_times: Sequence[float],
                       face_detector: Callable, iou_threshold: float = 0.5,
-                      crop_size: int = 112) -> List[FaceTrack]:
+                      crop_size: int = 112,
+                      min_quality: float = 0.0) -> List[FaceTrack]:
     """Greedy IoU tracking of detections across frames.
-    (reference: local/vision_processer.py scene face tracking)"""
+    (reference: local/vision_processer.py scene face tracking)
+
+    ``min_quality``: drop finished tracks whose mean crop sharpness
+    (crop_sharpness, the fqa.onnx stand-in) falls below this value."""
 
     def iou(a, b):
         ax, ay, aw, ah = a
@@ -63,10 +101,7 @@ def build_face_tracks(frames: Sequence[np.ndarray], frame_times: Sequence[float]
         patch = frame[y:min(y + h, h_img), x:min(x + w, w_img)]
         if patch.size == 0:
             patch = np.zeros((crop_size, crop_size), frame.dtype)
-        # nearest-neighbour resize (no cv2 dependency)
-        ys = (np.linspace(0, patch.shape[0] - 1, crop_size)).astype(int)
-        xs = (np.linspace(0, patch.shape[1] - 1, crop_size)).astype(int)
-        return patch[np.ix_(ys, xs)]
+        return resize_bilinear(patch, crop_size)
 
     active: List[dict] = []
     done: List[FaceTrack] = []
@@ -104,7 +139,10 @@ def build_face_tracks(frames: Sequence[np.ndarray], frame_times: Sequence[float]
     for tr in active:
         done.append(FaceTrack(tr["times"][0], tr["times"],
                               np.stack(tr["crops"])))
-    return [t for t in done if len(t.frame_times) >= 3]
+    done = [t for t in done if len(t.frame_times) >= 3]
+    if min_quality > 0.0:
+        done = [t for t in done if crop_sharpness(t.crops) >= min_quality]
+    return done
 
 
 def score_tracks_asd(tracks: List[FaceTrack], audio_mfcc: np.ndarray,
