@@ -1,8 +1,50 @@
 #!/usr/bin/env bash
-# VoxCeleb RDINO self-supervised recipe (reference: egs/voxceleb/sv-rdino/run.sh).
+# VoxCeleb self-supervised recipe — staged pipeline mirroring the reference
+# (reference: egs/voxceleb/sv-rdino/run.sh): data prep -> SSL training
+# (multi-crop, EMA teacher) -> embedding extraction -> trial scoring.
 set -euo pipefail
-cd "$(dirname "$0")"; REPO_ROOT=$(cd ../../.. && pwd); export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+
+stage=${STAGE:-1}
+stop_stage=${STOP_STAGE:-4}
+voxceleb2_root=${VOXCELEB2_ROOT:-/data/voxceleb2/dev/wav}
+voxceleb1_root=${VOXCELEB1_ROOT:-/data/voxceleb1/test/wav}
+musan_root=${MUSAN_ROOT:-}
+rirs_root=${RIRS_ROOT:-}
+trials=${TRIALS:-data/veri_test2.txt}
 exp_dir=exp/rdino
-python -m speaker3d_tpu.cli.train_ssl --config "$REPO_ROOT/configs/rdino.yaml" --variant rdino --exp_dir=$exp_dir "$@"
-python -m speaker3d_tpu.cli.extract_ssl --exp_dir $exp_dir --data data/eval_wav.scp --out_dir $exp_dir/embeddings --variant rdino
-python -m speaker3d_tpu.cli.compute_score_metrics --enrol_data $exp_dir/embeddings --test_data $exp_dir/embeddings --scores_dir $exp_dir/scores --trials "${TRIALS:-data/veri_test2.txt}" --p_target 0.05
+data=data
+
+cd "$(dirname "$0")"
+REPO_ROOT=$(cd ../../.. && pwd)
+export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+
+if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
+  echo "stage 1: prepare corpus lists"
+  ../local/prepare_data.sh --data "$data" \
+    --voxceleb2_root "$voxceleb2_root" --voxceleb1_root "$voxceleb1_root" \
+    --musan_root "$musan_root" --rirs_root "$rirs_root" --trials "$trials"
+  awk -F, 'NR>1 {print $1, $2}' $data/train.csv > $data/train_wav.scp
+  cp $data/vox1/wav.scp $data/eval_wav.scp
+fi
+
+if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
+  echo "stage 2: SSL training (rdino)"
+  python -m speaker3d_tpu.cli.train_ssl \
+    --config "$REPO_ROOT/configs/rdino.yaml" --variant rdino \
+    --exp_dir=$exp_dir --data=$data/train_wav.scp \
+    --noise=$data/musan/wav.scp
+fi
+
+if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
+  echo "stage 3: extract eval embeddings (teacher backbone)"
+  python -m speaker3d_tpu.cli.extract_ssl --exp_dir $exp_dir \
+    --data $data/eval_wav.scp --out_dir $exp_dir/embeddings \
+    --variant rdino
+fi
+
+if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
+  echo "stage 4: score trials (EER / minDCF p=0.05)"
+  python -m speaker3d_tpu.cli.compute_score_metrics \
+    --enrol_data $exp_dir/embeddings --test_data $exp_dir/embeddings \
+    --scores_dir $exp_dir/scores --trials "$trials" --p_target 0.05
+fi

@@ -124,17 +124,38 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
   if (!get_api) throw std::runtime_error("GetPjrtApi not found in plugin");
   impl_->api = get_api();
   const PJRT_Api* api = impl_->api;
+  if (!api) throw std::runtime_error("GetPjrtApi returned null");
+  const bool debug = std::getenv("SPEAKER3D_PJRT_DEBUG") != nullptr;
+  if (debug)
+    std::fprintf(stderr,
+                 "[pjrt_engine] api struct_size=%zu version=%d.%d\n",
+                 api->struct_size, api->pjrt_api_version.major_version,
+                 api->pjrt_api_version.minor_version);
+  for (const char* name : {"Plugin_Initialize", "Client_Create",
+                           "Client_Compile", "Client_BufferFromHostBuffer",
+                           "LoadedExecutable_Execute",
+                           "Buffer_ToHostBuffer"}) {
+    (void)name;  // presence asserted below by null checks
+  }
+  if (!api->PJRT_Plugin_Initialize || !api->PJRT_Client_Create ||
+      !api->PJRT_Client_Compile || !api->PJRT_Client_BufferFromHostBuffer ||
+      !api->PJRT_LoadedExecutable_Execute || !api->PJRT_Buffer_ToHostBuffer)
+    throw std::runtime_error(
+        "plugin PJRT_Api is missing required entry points "
+        "(version mismatch with the vendored pjrt_c_api.h?)");
 
   {
     PJRT_Plugin_Initialize_Args a;
     std::memset(&a, 0, sizeof(a));
     a.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+    if (debug) std::fprintf(stderr, "[pjrt_engine] Plugin_Initialize\n");
     impl_->Check(api->PJRT_Plugin_Initialize(&a), "PJRT_Plugin_Initialize");
   }
 
   // client create options from env (plugin-specific)
   std::vector<PJRT_NamedValue> options;
   std::vector<std::string> storage;  // keep name/value strings alive
+  storage.reserve(64);  // NamedValues hold c_str() pointers: no realloc
   const char* opt_env = std::getenv("SPEAKER3D_PJRT_OPTIONS");
   if (opt_env && *opt_env) {
     std::stringstream ss(opt_env);
@@ -172,8 +193,12 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
     a.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
     a.create_options = options.empty() ? nullptr : options.data();
     a.num_options = options.size();
+    if (debug)
+      std::fprintf(stderr, "[pjrt_engine] Client_Create (%zu options)\n",
+                   options.size());
     impl_->Check(api->PJRT_Client_Create(&a), "PJRT_Client_Create");
     impl_->client = a.client;
+    if (debug) std::fprintf(stderr, "[pjrt_engine] client ok\n");
   }
   {
     PJRT_Client_AddressableDevices_Args a;
@@ -211,6 +236,9 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
     a.program = &program;
     a.compile_options = copts.data();
     a.compile_options_size = copts.size();
+    if (std::getenv("SPEAKER3D_PJRT_DEBUG"))
+      std::fprintf(stderr, "[pjrt_engine] Client_Compile (%zu bytes)\n",
+                   code.size());
     impl_->Check(api->PJRT_Client_Compile(&a), "PJRT_Client_Compile");
     impl_->executable = a.executable;
   };

@@ -130,10 +130,12 @@ def main(argv=None):
             if shutdown.requested:
                 break
         if shutdown.requested:
-            host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
-            d = ckpt.save_checkpoint(epoch, {"asd_state": host})
-            print(f"[preemption] checkpoint saved to {d}; exiting",
-                  flush=True)
+            if jax.process_index() == 0:
+                host = jax.tree_util.tree_map(np.asarray,
+                                              jax.device_get(state))
+                d = ckpt.save_checkpoint(epoch, {"asd_state": host})
+                print(f"[preemption] checkpoint saved to {d}; exiting",
+                      flush=True)
             break
         host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
         variables = {"params": host["params"],
@@ -144,7 +146,8 @@ def main(argv=None):
         avg_loss = fetch_mean(losses) if losses else float("nan")
         print(f"epoch {epoch+1}: loss {avg_loss:.4f} "
               f"val mAP {100*m_ap:.2f}% ({time.time()-t0:.0f}s)", flush=True)
-        ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
     tracer.close()
     shutdown.restore()
 

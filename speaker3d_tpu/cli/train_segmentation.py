@@ -53,7 +53,8 @@ def main(argv=None):
     from speaker3d_tpu.parallel.mesh import init_multihost
     init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     args, overrides = get_args(argv)
-    config = build_config(args.config, overrides, copy_to_exp_dir=True)
+    config = build_config(args.config, overrides,
+                          copy_to_exp_dir=jax.process_index() == 0)
     exp_dir = config["exp_dir"]
     os.makedirs(exp_dir, exist_ok=True)
 

@@ -70,7 +70,8 @@ def main(argv=None):
                              "train steps (utils/profiling.py)")
     parser.add_argument("--profile_steps", type=int, default=5)
     args, overrides = parser.parse_known_args(argv)
-    config = build_config(args.config, overrides, copy_to_exp_dir=True)
+    config = build_config(args.config, overrides,
+                          copy_to_exp_dir=jax.process_index() == 0)
     exp_dir = config["exp_dir"]
 
     glb_num = config.get("glb_num", 2 if args.variant == "rdino" else 1)
@@ -111,9 +112,15 @@ def main(argv=None):
     model = build_ssl_model(args.variant, config)
     import math as _math
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh(data=_math.gcd(config.get("batch_size", 64), n_dev),
-                     model=1, devices=jax.devices())
+    # config batch_size is PER-HOST here (reference SSL semantics: per-GPU
+    # batch; the lr linear-scaling above multiplies by process_count). The
+    # data axis spans all hosts' devices: a multiple of process_count so
+    # every host owns equal mesh rows, dividing the per-host batch.
+    n_proc = jax.process_count()
+    n_local = len(jax.devices()) // n_proc
+    n_data = n_proc * _math.gcd(config.get("batch_size", 64),
+                                max(n_local, 1))
+    mesh = make_mesh(data=n_data, model=1, devices=jax.devices()[:n_data])
     melspec = MelSpectrogram(MelSpecConfig(n_mels=config.get("n_mels", 80)))
 
     lg = int(config.get("max_frames", 400)) * 160

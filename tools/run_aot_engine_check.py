@@ -25,6 +25,16 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# The PYTHON side (export + reference embedding) runs on CPU so the TPU is
+# only ever touched by ONE process — the C++ engine under test. Without
+# this the parent would hold a tunnel client while the child creates a
+# second one (never run two TPU processes concurrently — CLAUDE.md).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build_model(kind: str):
     from speaker3d_tpu.models.eres2netv2 import ERes2NetV2
