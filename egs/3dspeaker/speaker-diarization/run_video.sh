@@ -6,7 +6,9 @@
 # (vision_processer.py + extract embeddings + cluster_and_postprocess.py)
 # are the one-process unified CLI here (cli/infer_diarization_video.py).
 #
-# Face detection requires ONE of (no in-repo detector exists):
+# Face detection takes ONE of:
+#   FACE_DET_EXP=...      an in-repo trained detector experiment
+#                         (cli/train_face_detector.py — the no-ONNX path)
 #   YUNET_ONNX=...        a cv2 FaceDetectorYN (YuNet) model file — NOTE:
 #                         the reference's version-RFB-320.onnx is an
 #                         Ultra-Light RFB model, NOT YuNet-compatible
@@ -22,6 +24,7 @@ video_list=${VIDEO_LIST:-examples/video.list}
 ref_rttm=${REF_RTTM:-}
 out_dir=${OUT_DIR:-exp_video}
 model_id=${MODEL_ID:-iic/speech_eres2netv2w24s4ep4_sv_zh-cn_16k-common}
+face_det_exp=${FACE_DET_EXP:-}
 yunet_onnx=${YUNET_ONNX:-}
 face_boxes_dir=${FACE_BOXES_DIR:-}
 face_embed_onnx=${FACE_EMBED_ONNX:-}
@@ -30,8 +33,8 @@ asd_exp=${ASD_EXP:-}
 cd "$(dirname "$0")"
 REPO_ROOT=$(cd ../../.. && pwd)
 # Absolutize user paths so the recipe can run from the repo root below.
-for v in video_list ref_rttm out_dir yunet_onnx face_boxes_dir \
-         face_embed_onnx asd_exp; do
+for v in video_list ref_rttm out_dir face_det_exp yunet_onnx \
+         face_boxes_dir face_embed_onnx asd_exp; do
   val=${!v}
   if [ -n "$val" ] && [ "${val#/}" = "$val" ]; then
     printf -v "$v" '%s/%s' "$PWD" "$val"
@@ -48,14 +51,17 @@ fi
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "stage 1: audio-visual diarization"
   [ -f "$video_list" ] || { echo "missing $video_list (one video path per line)"; exit 1; }
-  if [ -z "$yunet_onnx" ] && [ -z "$face_boxes_dir" ]; then
-    echo "ERROR: face detection needs YUNET_ONNX=<FaceDetectorYN model>"
-    echo "       or FACE_BOXES_DIR=<dir of per-video face-boxes JSON>"
+  if [ -z "$face_det_exp" ] && [ -z "$yunet_onnx" ] \
+     && [ -z "$face_boxes_dir" ]; then
+    echo "ERROR: face detection needs FACE_DET_EXP=<trained in-repo"
+    echo "       detector (cli/train_face_detector.py)>, YUNET_ONNX=<cv2"
+    echo "       FaceDetectorYN model>, or FACE_BOXES_DIR=<per-video JSON>"
     exit 1
   fi
   while read -r video_file; do
     [ -n "$video_file" ] || continue
     args=()
+    [ -n "$face_det_exp" ] && args+=(--face_detector_exp_dir "$face_det_exp")
     [ -n "$yunet_onnx" ] && args+=(--yunet_onnx "$yunet_onnx")
     if [ -n "$face_boxes_dir" ]; then
       base=$(basename "${video_file%.*}")

@@ -131,12 +131,6 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
                  "[pjrt_engine] api struct_size=%zu version=%d.%d\n",
                  api->struct_size, api->pjrt_api_version.major_version,
                  api->pjrt_api_version.minor_version);
-  for (const char* name : {"Plugin_Initialize", "Client_Create",
-                           "Client_Compile", "Client_BufferFromHostBuffer",
-                           "LoadedExecutable_Execute",
-                           "Buffer_ToHostBuffer"}) {
-    (void)name;  // presence asserted below by null checks
-  }
   if (!api->PJRT_Plugin_Initialize || !api->PJRT_Client_Create ||
       !api->PJRT_Client_Compile || !api->PJRT_Client_BufferFromHostBuffer ||
       !api->PJRT_LoadedExecutable_Execute || !api->PJRT_Buffer_ToHostBuffer)

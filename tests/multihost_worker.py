@@ -95,6 +95,74 @@ def step_equiv(out_path):
                  cls_w=final["cls_w"])
 
 
+def ssl_equiv(out_path):
+    """3 RDINO steps on the 2-process mesh; rank 0 writes losses +
+    student-parameter vector (SyncBN, DINO centering, VICReg gather over
+    Gloo must equal the in-process result)."""
+    import flax.linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speaker3d_tpu.models.common import batch_norm
+    from speaker3d_tpu.models.ssl_heads import RDINOCombiner, RDINOHead
+    from speaker3d_tpu.parallel.mesh import make_mesh
+    from speaker3d_tpu.train.ssl_train import (
+        SSLTrainConfig,
+        init_ssl_state,
+        make_rdino_train_step,
+    )
+
+    class TinyBackbone(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(16)(x)
+            x = batch_norm(train, name="bn")(x)
+            x = nn.relu(x)
+            return x.mean(axis=1)
+
+    cfg = SSLTrainConfig(out_dim=32, ncrops=4, step_per_epoch=2, epochs=3,
+                         warmup_epochs=1, base_lr=0.02, freeze_last_layer=1)
+    model = RDINOCombiner(
+        backbone=TinyBackbone(),
+        head=RDINOHead(out_dim=32, hidden_dim=16, bottleneck_dim=8,
+                       add_dim=12))
+    mesh = make_mesh(data=2, model=1)
+    sharding = NamedSharding(mesh, P("data"))
+
+    def batch_for(i):
+        r = np.random.default_rng(200 + i)
+        return {"global_feats": r.standard_normal(
+                    (8, 2, 20, 10)).astype(np.float32),
+                "local_feats": r.standard_normal(
+                    (8, 2, 10, 10)).astype(np.float32)}
+
+    state = init_ssl_state(jax.random.PRNGKey(3), model,
+                           batch_for(0)["global_feats"][0, :1], cfg, mesh,
+                           "rdino")
+    host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    step = make_rdino_train_step(model, cfg, mesh, host)
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    losses = []
+    for i in range(3):
+        g = batch_for(i)
+        b = g["global_feats"].shape[0]
+        lo, hi = pid * b // nproc, (pid + 1) * b // nproc
+        local = {k: v[lo:hi] for k, v in g.items()}
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            local)
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+
+    final = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    if pid == 0:
+        flat = np.concatenate([np.ravel(v) for v in sorted(
+            jax.tree_util.tree_leaves(final["student"]["params"]),
+            key=lambda a: a.size)])
+        np.savez(out_path, losses=np.asarray(losses), params=flat,
+                 center=final["center"])
+
+
 def main():
     task = sys.argv[1]
     if task == "step_equiv":
@@ -103,6 +171,12 @@ def main():
         assert init_multihost(), "coordinator env not picked up"
         assert jax.process_count() == 2, jax.process_count()
         step_equiv(sys.argv[2])
+    elif task == "ssl_equiv":
+        from speaker3d_tpu.parallel.mesh import init_multihost
+
+        assert init_multihost(), "coordinator env not picked up"
+        assert jax.process_count() == 2, jax.process_count()
+        ssl_equiv(sys.argv[2])
     elif task == "train_cli":
         from speaker3d_tpu.cli.train import main as train_main
 

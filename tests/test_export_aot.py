@@ -16,10 +16,6 @@ import numpy as np
 import pytest
 
 
-class _TinyBackbone:
-    pass
-
-
 @pytest.fixture(scope="module")
 def tiny_export(tmp_path_factory):
     import flax.linen as nn

@@ -223,3 +223,68 @@ def test_two_process_train_and_extract_cli(tmp_path):
         shard = shard0 if key in k0 else shard1
         np.testing.assert_allclose(shard[key], ref[key], atol=2e-4,
                                    err_msg=key)
+
+
+def test_two_process_ssl_step_matches_single_process(tmp_path):
+    """SSL (RDINO) training over 2 coordinator-connected processes: SyncBN,
+    DINO centering, and the VICReg all_gather cross Gloo and must equal the
+    in-process 2-device result on the same global batch."""
+    out = os.path.join(str(tmp_path), "ssl_two_proc.npz")
+    _launch(["ssl_equiv", out])
+    got = np.load(out)
+
+    import flax.linen as nn
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speaker3d_tpu.models.common import batch_norm
+    from speaker3d_tpu.models.ssl_heads import RDINOCombiner, RDINOHead
+    from speaker3d_tpu.parallel.mesh import make_mesh
+    from speaker3d_tpu.train.ssl_train import (
+        SSLTrainConfig,
+        init_ssl_state,
+        make_rdino_train_step,
+    )
+
+    class TinyBackbone(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(16)(x)
+            x = batch_norm(train, name="bn")(x)
+            x = nn.relu(x)
+            return x.mean(axis=1)
+
+    cfg = SSLTrainConfig(out_dim=32, ncrops=4, step_per_epoch=2, epochs=3,
+                         warmup_epochs=1, base_lr=0.02, freeze_last_layer=1)
+    model = RDINOCombiner(
+        backbone=TinyBackbone(),
+        head=RDINOHead(out_dim=32, hidden_dim=16, bottleneck_dim=8,
+                       add_dim=12))
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    sharding = NamedSharding(mesh, P("data"))
+
+    def batch_for(i):
+        # must mirror tests/multihost_worker.py::ssl_equiv exactly
+        r = np.random.default_rng(200 + i)
+        return {"global_feats": r.standard_normal(
+                    (8, 2, 20, 10)).astype(np.float32),
+                "local_feats": r.standard_normal(
+                    (8, 2, 10, 10)).astype(np.float32)}
+
+    state = init_ssl_state(jax.random.PRNGKey(3), model,
+                           batch_for(0)["global_feats"][0, :1], cfg, mesh,
+                           "rdino")
+    host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    step = make_rdino_train_step(model, cfg, mesh, host)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, jax.device_put(batch_for(i), sharding))
+        losses.append(float(metrics["loss"]))
+    final = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    flat = np.concatenate([np.ravel(v) for v in sorted(
+        jax.tree_util.tree_leaves(final["student"]["params"]),
+        key=lambda a: a.size)])
+
+    np.testing.assert_allclose(got["losses"], losses, atol=2e-5)
+    np.testing.assert_allclose(got["params"], flat, atol=5e-5)
+    np.testing.assert_allclose(got["center"], final["center"], atol=5e-5)
