@@ -33,10 +33,14 @@ fi
 
 if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   echo "stage 3: train (CAM++ backbone, speed perturb off for LID)"
+  aug_args=()
+  [ -f $data/musan/wav.scp ] && aug_args+=(--noise=$data/musan/wav.scp)
+  [ -f $data/rirs/wav.scp ] && aug_args+=(--reverb=$data/rirs/wav.scp)
+  [ ${#aug_args[@]} -eq 0 ] && aug_args+=(--aug_prob=0.0)
   python -m speaker3d_tpu.cli.train \
     --config "$REPO_ROOT/configs/campplus.yaml" \
     --data=$data/train.csv --exp_dir=$exp_dir --speed_pertub=false \
-    --noise=$data/musan/wav.scp --reverb=$data/rirs/wav.scp
+    "${aug_args[@]}"
 fi
 
 if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then

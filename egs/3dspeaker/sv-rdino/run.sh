@@ -29,7 +29,7 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
   python -m speaker3d_tpu.cli.train_ssl \
     --config "$REPO_ROOT/configs/rdino.yaml" --variant rdino \
     --exp_dir=$exp_dir --data=$data/train_wav.scp \
-    --noise=$data/musan/wav.scp
+    $([ -f $data/musan/wav.scp ] && echo "--noise=$data/musan/wav.scp" || true)
 fi
 
 if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then

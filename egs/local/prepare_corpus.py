@@ -80,7 +80,6 @@ def cmd_rirs(args):
         manifest = os.path.join(args.root, sub, "rir_list")
         if not os.path.isfile(manifest):
             continue
-        base = os.path.dirname(os.path.dirname(args.root)) or args.root
         with open(manifest) as f:
             for line in f:
                 parts = line.split()

@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # VoxCeleb eres2netv2 supervised SV recipe — staged pipeline mirroring the
 # reference (reference: egs/voxceleb/sv-eres2netv2/run.sh): data prep ->
-# train -> large-margin finetune -> extract -> score.
+# train -> large-margin finetune -> extract -> score. Stages 5-6 evaluate
+# the LM-finetuned experiment when it exists (the reference's exp_lm_dir
+# convention); set EVAL_EXP_DIR to override.
 #
 # Multi-host note: instead of torchrun, run this script once per host; the
 # CLIs shard work by jax.process_index() (set SPEAKER3D_COORDINATOR_ADDRESS /
@@ -34,12 +36,21 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
   cp $data/vox1/wav.scp $data/eval_wav.scp
 fi
 
+# augmentation lists exist only when MUSAN_ROOT/RIRS_ROOT were prepared;
+# without them training runs un-augmented (aug_prob in the config is
+# ignored when no --noise is passed... the CLI requires the file, so gate)
+aug_args=()
+[ -f $data/musan/wav.scp ] && aug_args+=(--noise=$data/musan/wav.scp)
+[ -f $data/rirs/wav.scp ] && aug_args+=(--reverb=$data/rirs/wav.scp)
+if [ ${#aug_args[@]} -eq 0 ]; then
+  aug_args+=(--aug_prob=0.0)
+fi
+
 if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   echo "stage 3: train"
   python -m speaker3d_tpu.cli.train \
     --config "$REPO_ROOT/configs/eres2netv2.yaml" \
-    --data=$data/train.csv --exp_dir=$exp_dir \
-    --noise=$data/musan/wav.scp --reverb=$data/rirs/wav.scp
+    --data=$data/train.csv --exp_dir=$exp_dir "${aug_args[@]}"
 fi
 
 if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
@@ -48,15 +59,22 @@ if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   python -m speaker3d_tpu.cli.train \
     --config "$REPO_ROOT/configs/eres2netv2.yaml" \
     --data=$data/train.csv --exp_dir=${exp_dir}_lm \
-    --init_exp_dir=$exp_dir \
+    --init_exp_dir=$exp_dir "${aug_args[@]}" \
     --wav_len=6.0 --max_lr=0.0001 --min_lr=0.00001 \
     --initial_margin=0.5 --final_margin=0.5 --num_epoch=7 --batch_size=108
 fi
 
+# stages 5-6 evaluate the LM-finetuned model when present
+eval_exp=${EVAL_EXP_DIR:-}
+if [ -z "$eval_exp" ]; then
+  if [ -d ${exp_dir}_lm/models ]; then eval_exp=${exp_dir}_lm
+  else eval_exp=$exp_dir; fi
+fi
+
 if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
-  echo "stage 5: extract eval embeddings"
-  python -m speaker3d_tpu.cli.extract --exp_dir $exp_dir \
-    --data $data/eval_wav.scp --out_dir $exp_dir/embeddings --mode exact
+  echo "stage 5: extract eval embeddings ($eval_exp)"
+  python -m speaker3d_tpu.cli.extract --exp_dir $eval_exp \
+    --data $data/eval_wav.scp --out_dir $eval_exp/embeddings --mode exact
 fi
 
 if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
@@ -65,7 +83,7 @@ if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
     [ -f "$trial" ] || continue
     name=$(basename "$trial" .trial)
     python -m speaker3d_tpu.cli.compute_score_metrics \
-      --enrol_data $exp_dir/embeddings --test_data $exp_dir/embeddings \
-      --scores_dir $exp_dir/scores_$name --trials "$trial" --p_target 0.01
+      --enrol_data $eval_exp/embeddings --test_data $eval_exp/embeddings \
+      --scores_dir $eval_exp/scores_$name --trials "$trial" --p_target 0.01
   done
 fi

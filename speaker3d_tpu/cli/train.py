@@ -100,8 +100,10 @@ def main(argv=None):
     # data-axis size: a multiple of process_count (each host owns equal mesh
     # rows) that divides the global batch
     n_data = n_proc * _math.gcd(per_host_batch, max(n_local // n_model, 1))
+    from speaker3d_tpu.parallel.mesh import balanced_devices
+
     mesh = make_mesh(data=n_data, model=n_model,
-                     devices=jax.devices()[: n_data * n_model])
+                     devices=balanced_devices(n_data * n_model))
 
     cfg = SVTrainConfig(
         num_classes=dataset.num_classes,

@@ -68,15 +68,16 @@ def main(argv=None):
 
     keys = sorted(rows)
     max_u = max(len(str(rows[k]["text"]).split()) for k in keys)
+    import math
+
+    from speaker3d_tpu.parallel.mesh import balanced_devices
+
     batch_size = config.get("batch_size", 16)
-    per_host = batch_size // jax.process_count()
-    n_local = len(jax.devices()) // jax.process_count()
-    n_data = jax.process_count() * max(
-        1, min(per_host, n_local))
-    while per_host % (n_data // jax.process_count()) != 0:
-        n_data -= jax.process_count()
-    mesh = make_mesh(data=n_data, model=1,
-                     devices=jax.devices()[:n_data])
+    n_proc = jax.process_count()
+    per_host = batch_size // n_proc
+    n_local = len(jax.devices()) // n_proc
+    n_data = n_proc * math.gcd(max(per_host, 1), max(n_local, 1))
+    mesh = make_mesh(data=n_data, model=1, devices=balanced_devices(n_data))
 
     def load_sample(key, rng):
         wav = load_audio(rows[key]["wav"], obj_fs=fs)[0]
@@ -94,6 +95,10 @@ def main(argv=None):
         order = list(keys)
         random.Random(args.seed + epoch).shuffle(order)
         order = order[jax.process_index()::jax.process_count()]
+        # every process must run the SAME number of psum-bearing steps or
+        # the pod deadlocks: truncate to the common floor
+        n_common = (len(keys) // jax.process_count() // per_host) * per_host
+        order = order[:n_common]
         rng = np.random.default_rng(args.seed * 1000 + epoch)
         for i in range(0, len(order) - per_host + 1, per_host):
             samples = [load_sample(k, rng) for k in order[i:i + per_host]]

@@ -65,13 +65,16 @@ def main(argv=None):
         with open(config["data"]) as f:
             real_rows = [json.loads(line) for line in f if line.strip()]
 
+    n_proc = jax.process_count()
+    local_batch = max(batch_size // n_proc, 1)
+
     def make_batch(rng):
-        frames = np.zeros((batch_size, height, width, 1), np.float32)
+        frames = np.zeros((local_batch, height, width, 1), np.float32)
         gh, gw = height // STRIDE, width // STRIDE
-        heat = np.zeros((batch_size, gh, gw), np.float32)
-        size = np.zeros((batch_size, gh, gw, 2), np.float32)
-        mask = np.zeros((batch_size, gh, gw), np.float32)
-        for i in range(batch_size):
+        heat = np.zeros((local_batch, gh, gw), np.float32)
+        size = np.zeros((local_batch, gh, gw, 2), np.float32)
+        mask = np.zeros((local_batch, gh, gw), np.float32)
+        for i in range(local_batch):
             if real_rows:
                 row = real_rows[int(rng.integers(0, len(real_rows)))]
                 import cv2
@@ -88,12 +91,13 @@ def main(argv=None):
                                                          boxes)
         return {"frames": frames, "heat": heat, "size": size, "mask": mask}
 
-    n_proc = jax.process_count()
     n_local = len(jax.devices()) // n_proc
     import math
 
-    n_data = n_proc * math.gcd(batch_size // n_proc, max(n_local, 1))
-    mesh = make_mesh(data=n_data, model=1, devices=jax.devices()[:n_data])
+    from speaker3d_tpu.parallel.mesh import balanced_devices
+
+    n_data = n_proc * math.gcd(local_batch, max(n_local, 1))
+    mesh = make_mesh(data=n_data, model=1, devices=balanced_devices(n_data))
 
     model = TinyFaceDetector(**config.get("model", {}).get("args", {}))
     variables = jax.jit(model.init, static_argnames=("train",))(

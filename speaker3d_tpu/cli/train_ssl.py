@@ -120,7 +120,9 @@ def main(argv=None):
     n_local = len(jax.devices()) // n_proc
     n_data = n_proc * _math.gcd(config.get("batch_size", 64),
                                 max(n_local, 1))
-    mesh = make_mesh(data=n_data, model=1, devices=jax.devices()[:n_data])
+    from speaker3d_tpu.parallel.mesh import balanced_devices
+
+    mesh = make_mesh(data=n_data, model=1, devices=balanced_devices(n_data))
     melspec = MelSpectrogram(MelSpecConfig(n_mels=config.get("n_mels", 80)))
 
     lg = int(config.get("max_frames", 400)) * 160

@@ -90,6 +90,10 @@ class BatchLoader:
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
         order = order[self.process_index::self.process_count]
+        # every process must yield the SAME number of batches — the train
+        # step's psums otherwise deadlock the pod when the corpus size is
+        # not divisible by process_count (ranks differ by one example)
+        order = order[: len(self.dataset) // self.process_count]
         n_batches = len(order) // self.batch_size if self.drop_last \
             else -(-len(order) // self.batch_size)
 

@@ -188,6 +188,8 @@ class SSLBatchLoader:
         if self.shuffle:
             _random.Random(self.seed + self.epoch).shuffle(order)
         order = order[self.process_index::self.process_count]
+        # equal batch counts on every process (psum deadlock otherwise)
+        order = order[: len(self.dataset) // self.process_count]
         n_batches = len(order) // self.batch_size
 
         q: "queue.Queue" = queue.Queue(maxsize=4)

@@ -45,9 +45,7 @@ def resize_bilinear(patch: np.ndarray, size: int) -> np.ndarray:
     p = patch.astype(np.float32)
     top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
     bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
-    return (top * (1 - wy) + bot * wy).astype(patch.dtype
-                                              if patch.dtype == np.float32
-                                              else np.float32)
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
 
 
 def crop_sharpness(crops: np.ndarray) -> float:

@@ -35,6 +35,30 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(dev, ("data", "model"))
 
 
+def balanced_devices(n_total: int):
+    """The first n_total/process_count devices OF EACH process, in process
+    order. ``jax.devices()[:n]`` takes process 0's devices first, so on a
+    pod a truncated mesh could leave some hosts owning zero rows — which
+    breaks per-host batch assembly (make_array_from_process_local_data
+    needs every process to address part of the sharding). Use this whenever
+    a mesh spans fewer than all devices on a multi-process run."""
+    n_proc = jax.process_count()
+    if n_total % n_proc:
+        raise ValueError(f"{n_total} mesh devices not divisible by "
+                         f"{n_proc} processes")
+    per = n_total // n_proc
+    by_proc: dict = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, []).append(d)
+    out = []
+    for p in sorted(by_proc):
+        if len(by_proc[p]) < per:
+            raise ValueError(f"process {p} has {len(by_proc[p])} devices, "
+                             f"needs {per}")
+        out.extend(by_proc[p][:per])
+    return out
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -83,7 +107,23 @@ def init_multihost(coordinator_address: Optional[str] = None,
         process_id = int(v) if v else None
 
     if coordinator_address is None:
-        return False  # single-host: never probe or init the backend
+        # No explicit coordinator. Real pods/clusters still auto-detect:
+        # jax.distributed.initialize() with no args resolves SLURM / Open
+        # MPI / Cloud-TPU-pod environments. Only attempt it when one of
+        # those is recognizably present — otherwise a plain single-host
+        # run must not touch the backend at all.
+        cluster_env = (
+            os.environ.get("SLURM_JOB_ID")
+            or os.environ.get("OMPI_COMM_WORLD_SIZE")
+            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+            # Cloud-TPU pod: both vars present (a lone TPU_WORKER_HOSTNAMES
+            # is also set by this harness's single-chip tunnel shim)
+            or (os.environ.get("TPU_WORKER_ID")
+                and os.environ.get("TPU_WORKER_HOSTNAMES")))
+        if not cluster_env:
+            return False  # single-host: never probe or init the backend
+        jax.distributed.initialize()  # auto-detect; failures propagate
+        return True
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
