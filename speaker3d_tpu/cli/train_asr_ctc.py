@@ -107,7 +107,8 @@ def main(argv=None):
                    "label_lens": np.asarray([s[2] for s in samples],
                                             np.int32)}
 
-    step_per_epoch = max(len(keys) // batch_size, 1)
+    step_per_epoch = max(len(keys) // jax.process_count()
+                         // per_host, 1)
     cfg = CTCTrainConfig(
         min_lr=config.get("min_lr", 1e-5),
         max_lr=config.get("max_lr", 2e-3),
