@@ -121,3 +121,97 @@ def test_tracking_on_rendered_moving_faces(detector_exp):
     longest = max(tracks, key=lambda t: len(t.frame_times))
     assert len(longest.frame_times) >= 10
     assert longest.crops.shape[1:] == (112, 112)
+
+
+def test_video_cli_with_trained_detector(detector_exp, tmp_path):
+    """Full no-ONNX audio-visual e2e: rendered-face video + tone audio ->
+    cli/infer_diarization_video.py --face_detector_exp_dir -> RTTM."""
+    cv2 = pytest.importorskip("cv2")
+    import jax  # noqa: F401  (backend already CPU via conftest)
+
+    from speaker3d_tpu.cli.train import main as train_main
+    from speaker3d_tpu.data.synthetic_faces import render_face
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    root = str(tmp_path)
+    FS = 16000
+
+    def tone(freq, dur, seed):
+        t = np.arange(int(dur * FS)) / FS
+        sig = (np.sin(2 * np.pi * freq * t)
+               + 0.3 * np.sin(2 * np.pi * 2 * freq * t))
+        return (0.3 * sig + 0.01 * np.random.default_rng(seed)
+                .standard_normal(len(t))).astype(np.float32)
+
+    sil = np.zeros(int(0.8 * FS), np.float32)
+    wav = np.concatenate([sil, tone(220, 4, 1), sil, tone(2000, 4, 2), sil])
+    wav_path = os.path.join(root, "conv.wav")
+    write_wav(wav_path, wav, FS)
+    dur = len(wav) / FS
+
+    fps, W, H = 10, 192, 144
+    vid_path = os.path.join(root, "conv.avi")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"), fps,
+                         (W, H))
+    if not vw.isOpened():
+        pytest.skip("cv2 has no MJPG encoder in this build")
+    turns = [(0.8, 4.8, "A"), (5.6, 9.6, "B")]
+    rng = np.random.default_rng(0)
+    for i in range(int(dur * fps)):
+        t = i / fps
+        frame = 40.0 + 8.0 * rng.standard_normal((H, W))
+        cur = [s for st, ed, s in turns if st <= t < ed]
+        if "A" in cur:
+            render_face(frame, 20, 30, 36, 46, brightness=205.0)
+        if "B" in cur:
+            render_face(frame, 130, 40, 36, 46, brightness=205.0)
+        frame = np.clip(frame, 0, 255).astype(np.uint8)
+        vw.write(cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR))
+    vw.release()
+    cap = cv2.VideoCapture(vid_path)
+    ok, _ = cap.read()
+    cap.release()
+    if not ok:
+        pytest.skip("cv2 cannot read back MJPG avi in this build")
+
+    # tiny audio embedder exp
+    rows = []
+    os.makedirs(os.path.join(root, "wav"), exist_ok=True)
+    rng2 = np.random.default_rng(1)
+    for s in range(2):
+        for u in range(4):
+            w = (0.3 * np.sin(2 * np.pi * (250 + 900 * s)
+                              * np.arange(FS) / FS)
+                 + 0.01 * rng2.standard_normal(FS)).astype(np.float32)
+            p = os.path.join(root, "wav", f"s{s}u{u}.wav")
+            write_wav(p, w, FS)
+            rows.append((f"s{s}u{u}", p, f"spk{s}"))
+    with open(os.path.join(root, "train.csv"), "w") as f:
+        f.write("ID,wav,spk\n")
+        f.writelines(",".join(r) + "\n" for r in rows)
+    sv_cfg = {"exp_dir": os.path.join(root, "exp"),
+              "data": os.path.join(root, "train.csv"),
+              "wav_len": 0.5, "speed_pertub": False, "aug_prob": 0.0,
+              "batch_size": 8, "num_workers": 2, "num_epoch": 3,
+              "embedding_size": 16, "max_lr": 0.1, "min_lr": 0.01,
+              "warmup_epoch": 1, "log_batch_freq": 1,
+              "model": {"obj": "speaker3d_tpu.models.xvector.Xvector",
+                        "args": {"feat_dim": 80, "hid_dim": 16,
+                                 "stats_dim": 32, "embed_dim": 16}}}
+    cfg_path = os.path.join(root, "sv.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(sv_cfg, f)
+    train_main(["--config", cfg_path])
+
+    from speaker3d_tpu.cli.infer_diarization_video import main as video_main
+
+    out_dir = os.path.join(root, "out")
+    rc = video_main(["--video", vid_path, "--wav", wav_path,
+                     "--out_dir", out_dir, "--exp_dir", sv_cfg["exp_dir"],
+                     "--face_detector_exp_dir", detector_exp,
+                     "--face_threshold", "0.3", "--fps", "10"])
+    assert rc == 0
+    rttm = os.path.join(out_dir, "conv.rttm")
+    assert os.path.isfile(rttm)
+    lines = open(rttm).read().splitlines()
+    assert lines, "empty RTTM"
