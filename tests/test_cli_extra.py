@@ -60,8 +60,9 @@ def test_export_and_reload(tiny_exp, tmp_path):
         main as export_main,
     )
 
+    aot_dir = os.path.join(tmp_path, "aot")
     export_main(["--exp_dir", config["exp_dir"], "--out", out,
-                 "--frames", "60"])
+                 "--frames", "60", "--aot_dir", aot_dir])
     assert os.path.isfile(out)
     meta = json.load(open(out + ".json"))
     fn = load_exported(out)
@@ -69,6 +70,11 @@ def test_export_and_reload(tiny_exp, tmp_path):
         (1, 60, 80)).astype(np.float32)
     emb = np.asarray(fn(feats))
     assert emb.shape == (1, 16)
+    # AOT artifact for the standalone C++ PJRT engine
+    assert os.path.isfile(os.path.join(aot_dir, "model.mlir.bc"))
+    assert os.path.isfile(os.path.join(aot_dir, "model.mlir"))
+    aot_meta = json.load(open(os.path.join(aot_dir, "aot.json")))
+    assert aot_meta["embedding_dim"] == 16 and aot_meta["frames"] == 60
 
 
 def test_check_single_speaker(tiny_exp, tmp_path):
