@@ -212,11 +212,14 @@ def main(argv=None):
               f"{len({f[2] for f in fields})} speakers -> {out_file}")
         if args.sidecar:
             wav = load_audio(wav_path, obj_fs=16000)
-            pipe.save_meta(os.path.join(args.out_dir, f"{base}.meta.json"),
-                           wav.shape[-1] / 16000.0)
             pipe.save_vad_info(os.path.join(args.out_dir,
                                             f"{base}.vad_info.json"))
-            pipe.save_pairs(os.path.join(args.out_dir, f"{base}.pairs.json"))
+            # pairs BEFORE meta: meta carries the pairwise min/mean stats
+            # (reference: bin/infer_diarization.py:1031-1051)
+            pipe.save_pairs(os.path.join(args.out_dir, f"{base}.pairs.json"),
+                            wav_1d=wav[0])
+            pipe.save_meta(os.path.join(args.out_dir, f"{base}.meta.json"),
+                           wav.shape[-1] / 16000.0, wav_path=wav_path)
             if pipe.last_vad_masked_audio is not None:
                 write_wav(os.path.join(args.out_dir, f"{base}.vad_masked.wav"),
                           pipe.last_vad_masked_audio, 16000)

@@ -38,6 +38,12 @@ def get_args(argv=None):
                         "--asr_exp_dir)")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--merge_gap_s", type=float, default=2.0)
+    p.add_argument("--timestamps", choices=["auto", "ms", "s"],
+                   default="auto",
+                   help="unit of ASR word timestamps: 'ms' (Paraformer "
+                        "convention, reference out_transcription.py:40), "
+                        "'s', or 'auto' (detect from magnitude). The "
+                        "native --asr_exp_dir engine always emits seconds")
     args = p.parse_args(argv)
     if bool(args.asr_dir) == bool(args.asr_exp_dir):
         p.error("exactly one of --asr_dir / --asr_exp_dir is required")
@@ -90,7 +96,11 @@ def main(argv=None):
                 asr = json.load(f)
         fields = load_rttm_fields(os.path.join(args.rttm_dir,
                                                rec_id + ".rttm"))
-        utts = attribute_transcript(asr, fields, args.merge_gap_s)
+        ts_ms = {"auto": None, "ms": True, "s": False}[args.timestamps]
+        if transcriber is not None:
+            ts_ms = False  # native CTC engine emits seconds
+        utts = attribute_transcript(asr, fields, args.merge_gap_s,
+                                    timestamps_ms=ts_ms)
         out = os.path.join(args.out_dir, rec_id + ".txt")
         with open(out, "w") as f:
             for text, (st, ed), spk in utts:

@@ -20,8 +20,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 
-def _l2(x):
-    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+from speaker3d_tpu.diar.cluster import l2_normalize as _l2  # noqa: E402
 
 
 def calculate_segment_centers(embeddings: np.ndarray,

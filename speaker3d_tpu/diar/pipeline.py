@@ -161,8 +161,20 @@ class DiarizationPipeline:
 
     def do_emb_extraction(self, chunks: Sequence[Sequence[float]], wav_1d):
         """Slice, circle-pad to a STATIC chunk length, batch, embed on device.
-        (reference: bin/infer_diarization.py:621-639)"""
+        (reference: bin/infer_diarization.py:621-639)
+
+        The reference pads every chunk to the LONGEST chunk in the call, so
+        whole-segment extraction (--no_chunk_after_vad, .pairs.json) embeds
+        full segments, not their first chunk_dur seconds. For static XLA
+        shapes the pad target is that max length rounded UP to a multiple of
+        chunk_dur (one compile per distinct bucket, not per length); the
+        sliding-window path where every chunk == chunk_dur is unchanged."""
         L = int(self.chunk_dur * self.fs)
+        max_len = max(
+            (int(ed * self.fs) - int(st * self.fs) for st, ed in chunks),
+            default=L)
+        if max_len > L:
+            L = -(-max_len // L) * L  # bucketed: ceil(max/chunk)*chunk
         wavs = []
         for st, ed in chunks:
             piece = wav_1d[int(st * self.fs):int(ed * self.fs)]
@@ -255,7 +267,10 @@ class DiarizationPipeline:
 
     def save_diar_output(self, out_file, wav_id=None, output_field_labels=None):
         """(reference: bin/infer_diarization.py:727-755)"""
-        fields = output_field_labels or self.output_field_labels
+        # `is None`, not falsy: an explicitly passed EMPTY result list must
+        # write an empty file, not fall back to the previous file's segments
+        fields = (output_field_labels if output_field_labels is not None
+                  else self.output_field_labels)
         if fields is None:
             raise ValueError("No results can be saved.")
         wav_id = wav_id or "default"
@@ -274,25 +289,59 @@ class DiarizationPipeline:
         else:
             raise ValueError("Supported output formats: RTTM and JSON.")
 
-    def save_meta(self, out_file, wav_duration_s: float):
-        """RTF sidecar. (reference: bin/infer_diarization.py:1045-1058)"""
+    def save_meta(self, out_file, wav_duration_s: float, wav_path=None):
+        """RTF sidecar, reference key names (bin/infer_diarization.py:
+        1045-1058): wav_path / duration_sec / processing_time_sec / rtf /
+        pairwise_min_cosine / pairwise_mean_cosine (the pairwise stats are
+        filled when save_pairs ran for this file)."""
         elapsed = self.last_elapsed or 0.0
+        stats = getattr(self, "last_pairwise_stats", None) or {}
         meta = {
-            "duration_s": wav_duration_s,
-            "elapsed_s": elapsed,
+            "wav_path": wav_path,
+            "duration_sec": wav_duration_s,
+            "processing_time_sec": elapsed,
             "rtf": elapsed / wav_duration_s if wav_duration_s > 0 else None,
+            "pairwise_min_cosine": stats.get("min"),
+            "pairwise_mean_cosine": stats.get("mean"),
         }
         with open(out_file, "w") as f:
             json.dump(meta, f, indent=2)
 
-    def save_pairs(self, out_file):
-        """Pairwise segment cosine sidecar.
-        (reference: bin/infer_diarization.py:1014-1066)"""
-        from speaker3d_tpu.diar.cluster import cosine_affinity
-
-        if self.last_embeddings is None or len(self.last_embeddings) == 0:
+    def save_pairs(self, out_file, wav_1d=None):
+        """Pairwise cosine sidecar between the final diarized SEGMENTS
+        (reference: bin/infer_diarization.py:1014-1041 — re-embeds each
+        output segment and writes seg_i/seg_j with start/stop/speaker).
+        When ``wav_1d`` is given, segments are re-embedded from it; without
+        audio it falls back to the chunk embeddings (legacy behavior,
+        chunk_i/chunk_j keys)."""
+        self.last_pairwise_stats = None
+        segs = self.output_field_labels or []
+        if wav_1d is not None and len(segs) >= 2:
+            seg_times = [[float(s[0]), float(s[1])] for s in segs]
+            embs = self.do_emb_extraction(seg_times, np.asarray(wav_1d))
+            z = embs / (np.linalg.norm(embs, axis=1, keepdims=True) + 1e-12)
+            aff = z @ z.T
+            iu = np.triu_indices(aff.shape[0], k=1)
+            vals = aff[iu]
+            if vals.size:
+                self.last_pairwise_stats = {"min": float(vals.min()),
+                                            "mean": float(vals.mean())}
+            pairs = [{
+                "i": int(i), "j": int(j),
+                "seg_i": {"start": float(segs[i][0]),
+                          "stop": float(segs[i][1]),
+                          "speaker": int(segs[i][2])},
+                "seg_j": {"start": float(segs[j][0]),
+                          "stop": float(segs[j][1]),
+                          "speaker": int(segs[j][2])},
+                "cosine": float(aff[i, j]),
+            } for i, j in zip(*iu)]
+            data = {"pairs": pairs}
+        elif self.last_embeddings is None or len(self.last_embeddings) == 0:
             data = {"pairs": []}
         else:
+            from speaker3d_tpu.diar.cluster import cosine_affinity
+
             aff = cosine_affinity(self.last_embeddings)
             pairs = []
             n = aff.shape[0]
@@ -308,7 +357,7 @@ class DiarizationPipeline:
         with open(out_file, "w") as f:
             json.dump(data, f, indent=2)
 
-    def save_vad_plot(self, out_file, wav_1d=None, sample_rate=16000):
+    def save_vad_plot(self, out_file, wav_1d=None, sample_rate=None):
         """3-panel VAD visualization: waveform + raw / processed / refined
         interval overlays. (reference: bin/infer_diarization.py:799-870
         _save_vad_waveform_png)"""
@@ -322,6 +371,8 @@ class DiarizationPipeline:
                      if self.last_vad_masked_audio is not None else None))
         if wav is None:
             raise ValueError("no waveform available for plotting")
+        if sample_rate is None:
+            sample_rate = self.fs  # time axis must match the VAD overlays
         t = np.arange(len(wav)) / sample_rate
         panels = [("raw VAD", self.last_vad_time_raw),
                   ("post-processed", self.last_vad_time_processed),

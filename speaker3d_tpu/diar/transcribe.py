@@ -99,14 +99,22 @@ def distribute_speakers(sentences: List[list],
 
 
 def attribute_transcript(asr_result: Dict, fields: Sequence[Sequence],
-                         merge_gap_s: float = 2.0) -> List[list]:
-    """asr_result: {'text', 'raw_text', 'timestamp' ([[st,ed],...] seconds or
-    ms — values > 1000x the last field end are treated as ms)."""
+                         merge_gap_s: float = 2.0,
+                         timestamps_ms: "bool | None" = None) -> List[list]:
+    """asr_result: {'text', 'raw_text', 'timestamp' [[st, ed], ...]}.
+
+    ``timestamps_ms``: True = timestamps are milliseconds (the Paraformer
+    convention the reference converts unconditionally,
+    out_transcription.py:40), False = seconds (the native CTC engine).
+    None auto-detects: treated as ms when the last timestamp exceeds 50x
+    the diarization span (a knee low enough that ms stamps on short audio
+    — e.g. 1000 ms on a 1 s clip — are still converted)."""
     ts = [list(map(float, t)) for t in asr_result["timestamp"]]
-    if ts and fields:
+    if timestamps_ms is None and ts and fields:
         max_field_end = max(f[1] for f in fields)
-        if ts[-1][1] > max(10.0, max_field_end) * 100:
-            ts = [[a / 1000.0, b / 1000.0] for a, b in ts]
+        timestamps_ms = ts[-1][1] >= max(10.0, max_field_end) * 50.0
+    if timestamps_ms:
+        ts = [[a / 1000.0, b / 1000.0] for a, b in ts]
     sentences = words_to_sentences(asr_result["text"],
                                    asr_result["raw_text"], ts)
     return distribute_speakers(sentences, fields, merge_gap_s)

@@ -32,6 +32,7 @@ class EnergyVAD:
                  threshold: float = 0.5, abs_floor: float = 1e-4,
                  noise_percentile: float = 10.0, snr_factor: float = 4.0):
         self.sample_rate = sample_rate
+        self.frame_ms = frame_ms  # pipeline reads this to scale intervals
         self.hop_size = int(frame_ms * sample_rate / 1000)
         self.threshold = threshold
         self.abs_floor = abs_floor

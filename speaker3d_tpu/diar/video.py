@@ -150,18 +150,23 @@ def score_tracks_asd(tracks: List[FaceTrack], audio_mfcc: np.ndarray,
 
     The audio slice is taken by TRUE track time (the reference's
     ``t0*4`` indexing assumes 25 fps / 10 ms hop); scorers consume exactly
-    4 MFCC frames per visual frame (the TalkNet contract), so at other
-    frame rates the true-time slice is resampled onto that 4:1 grid.
+    4 MFCC frames per visual frame (the TalkNet contract). Each crop's
+    4-frame window is anchored at that crop's OWN frame time — tracks may
+    contain detection gaps (build_face_tracks keeps a track alive across
+    up to 10 missed frames without appending crops), so an evenly spaced
+    4:1 grid over the span would misalign audio after any gap.
     """
     for tr in tracks:
         n = len(tr.frame_times)
+        span_s = (tr.frame_times[-1] - tr.start_time) + 1.0 / fps
         start = int(round(tr.start_time / mfcc_hop_s))
-        dur = max(1, int(round(n / fps / mfcc_hop_s)))
+        dur = max(4, int(round(span_s / mfcc_hop_s)))
         a = audio_mfcc[start:start + dur]
         if a.shape[0] < dur:
             a = np.pad(a, ((0, dur - a.shape[0]), (0, 0)))
-        idx = np.clip(np.round(np.linspace(0, dur - 1, 4 * n)).astype(int),
-                      0, dur - 1)
+        rel = (np.asarray(tr.frame_times) - tr.start_time) / mfcc_hop_s
+        base = np.clip(np.round(rel).astype(int), 0, dur - 4)
+        idx = (base[:, None] + np.arange(4)[None, :]).reshape(-1)
         tr.asd_scores = np.asarray(asd_scorer(a[idx], tr.crops))
 
 
