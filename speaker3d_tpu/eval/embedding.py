@@ -55,7 +55,9 @@ def build_feature_fn(*, sample_rate: int = 16000, num_mel_bins: int = 80,
     fbank = KaldiFbank(
         FbankConfig(sample_rate=sample_rate, num_mel_bins=num_mel_bins),
         mean_norm=mean_norm)
-    return jax.jit(fbank.__call__)
+    # jit only over the wav: a runtime mean_norm override would reach
+    # _fbank_apply's static argname as a tracer and fail
+    return jax.jit(lambda wav: fbank(wav))
 
 
 def build_sharded_embedding_fn(model, variables, mesh, *,

@@ -76,6 +76,17 @@ def quantized_apply_fn(model: nn.Module, variables,
     def q_int8(x, scale):
         return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
 
+    def orig_kernel(mod):
+        # quantize from the FLOAT checkpoint, not the bf16-cast apply
+        # variables (double rounding costs up to half an int8 step)
+        try:
+            node = variables["params"]
+            for p in mod.path:
+                node = node[p]
+            return jnp.asarray(node["kernel"], jnp.float32)
+        except (KeyError, TypeError):
+            return mod.variables["params"]["kernel"].astype(jnp.float32)
+
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         key = _module_key(mod)
@@ -85,8 +96,7 @@ def quantized_apply_fn(model: nn.Module, variables,
         x = args[0]
 
         if isinstance(mod, nn.Dense):
-            w = mod.variables["params"]["kernel"]  # [in, out]
-            w32 = w.astype(jnp.float32)
+            w32 = orig_kernel(mod)  # [in, out]
             w_scale = jnp.maximum(jnp.abs(w32).max(axis=0), 1e-8) / 127.0
             wq = jnp.clip(jnp.round(w32 / w_scale), -127, 127).astype(jnp.int8)
             a_scale = jnp.asarray(scale / 127.0, jnp.float32)
@@ -102,8 +112,7 @@ def quantized_apply_fn(model: nn.Module, variables,
         if isinstance(mod, nn.Conv):
             if mod.feature_group_count != 1:
                 return next_fun(*args, **kwargs)  # depthwise: stay float
-            w = mod.variables["params"]["kernel"]  # [kh, kw, in, out]
-            w32 = w.astype(jnp.float32)
+            w32 = orig_kernel(mod)  # [kh, kw, in, out]
             red = tuple(range(w32.ndim - 1))
             w_scale = jnp.maximum(jnp.abs(w32).max(axis=red), 1e-8) / 127.0
             wq = jnp.clip(jnp.round(w32 / w_scale), -127, 127).astype(jnp.int8)

@@ -102,6 +102,30 @@ def score_trials(enrol: Dict[str, np.ndarray], test: Dict[str, np.ndarray],
     return scores, labels
 
 
+_AFFINITY_FNS = {}
+
+
+def _affinity_shard_fn(mesh):
+    """Compiled row-sharded affinity matmul, cached per mesh (a per-call
+    jit of a fresh shard_map closure recompiles EVERY call — CLAUDE.md;
+    jit itself caches per input shape)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = (id(mesh), mesh.shape["data"])
+    if key not in _AFFINITY_FNS:
+        def body(rows, full):
+            return jnp.matmul(rows, full.T,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        _AFFINITY_FNS[key] = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("data", None), P()),
+            out_specs=P("data", None)))
+    return _AFFINITY_FNS[key]
+
+
 def pairwise_cosine_device(emb: np.ndarray, mesh=None) -> np.ndarray:
     """All-pairs cosine as a device matmul; row-sharded over 'data' +
     all_gather when a mesh is given (for N ~ 1e4+ diarization chunks)."""
@@ -119,13 +143,7 @@ def pairwise_cosine_device(emb: np.ndarray, mesh=None) -> np.ndarray:
     pad = (-emb.shape[0]) % n_data
     xp = jnp.pad(x, ((0, pad), (0, 0)))
 
-    def body(rows, full):
-        return jnp.matmul(rows, full.T, precision=jax.lax.Precision.HIGHEST)
-
-    fn = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P("data", None), P()),
-        out_specs=P("data", None)))
+    fn = _affinity_shard_fn(mesh)
     rows = jax.device_put(xp, NamedSharding(mesh, P("data", None)))
     full = jax.device_put(xp, NamedSharding(mesh, P()))
     aff = np.asarray(fn(rows, full))

@@ -80,6 +80,16 @@ class FbankConfig:
     use_log_fbank: bool = True
     snip_edges: bool = True
 
+    def __post_init__(self):
+        if not self.snip_edges:
+            # num_frames() documents the reflect-padded count but no
+            # framing path implements it — reject rather than silently
+            # produce snip-edges features under a non-snip config
+            raise NotImplementedError(
+                "snip_edges=False is not implemented (the reference "
+                "pipeline uses snip_edges=True throughout: "
+                "processor.py:133, feature_basic.h:40)")
+
     @property
     def frame_length(self) -> int:
         return int(self.sample_rate * self.frame_length_ms / 1000.0)
@@ -234,6 +244,8 @@ def _frames(wav, frame_length: int, frame_shift: int):
     """[B, n] -> [B, m, frame_length] overlapping frames, gather-free."""
     n = wav.shape[-1]
     m = 1 + (n - frame_length) // frame_shift
+    if m <= 0:  # wav shorter than one frame: 0 frames (num_frames contract)
+        return jnp.zeros((wav.shape[0], 0, frame_length), wav.dtype)
     g = math.gcd(frame_length, frame_shift)
     step = frame_shift // g
     nb = (frame_shift * (m - 1) + frame_length) // g

@@ -102,16 +102,9 @@ def _melspec_apply(wav, B, mel, *, n_fft, hop, center, power):
     if center:
         p = n_fft // 2
         wav = jnp.pad(wav, ((0, 0), (p, p)), mode="reflect")
-    n = wav.shape[-1]
-    m = 1 + (n - n_fft) // hop
-    g = math.gcd(n_fft, hop)
-    step = hop // g
-    nb = (hop * (m - 1) + n_fft) // g
-    blocks = wav[:, : nb * g].reshape(wav.shape[0], nb, g)
-    cols = [jax.lax.slice_in_dim(blocks, k, k + step * (m - 1) + 1,
-                                 stride=step, axis=1)
-            for k in range(n_fft // g)]
-    frames = jax.lax.optimization_barrier(jnp.concatenate(cols, axis=2))
+    from speaker3d_tpu.ops.fbank import _frames
+
+    frames = jax.lax.optimization_barrier(_frames(wav, n_fft, hop))
     y = jnp.matmul(frames, B, precision=jax.lax.Precision.HIGHEST)
     n_bins = mel.shape[0]
     spec = jnp.square(y[..., :n_bins]) + jnp.square(y[..., n_bins:])

@@ -13,6 +13,8 @@ Host-side numpy (CPU data plane, matching the reference's usage).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from scipy.fft import dct
 
@@ -45,8 +47,10 @@ def mfcc(signal, samplerate=16000, winlen=0.025, winstep=0.01, numcep=13,
     # whole-signal pre-emphasis (psf.sigproc.preemphasis)
     signal = np.append(signal[0], signal[1:] - preemph * signal[:-1])
 
-    frame_len = int(round(winlen * samplerate))
-    frame_step = int(round(winstep * samplerate))
+    # psf uses decimal ROUND_HALF_UP; python round() is banker's rounding
+    # (0.025*44100=1102.5 -> 1102), which diverges at non-16k rates
+    frame_len = int(math.floor(winlen * samplerate + 0.5))
+    frame_step = int(math.floor(winstep * samplerate + 0.5))
     n = len(signal)
     if n <= frame_len:
         num_frames = 1

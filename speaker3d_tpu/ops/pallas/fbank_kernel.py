@@ -35,11 +35,14 @@ _EPSILON = float(np.finfo(np.float32).eps)
 TILE_T = 128  # frames per grid step
 
 
-def _fbank_kernel(frames_ref, B_ref, mel_ref, out_ref, *, n_bins, use_log):
+def _fbank_kernel(frames_ref, B_ref, mel_ref, out_ref, *, n_bins, use_log,
+                  use_power):
     frames = frames_ref[0]                            # [tile_t, frame_length]
     y = jnp.dot(frames, B_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     power = jnp.square(y[:, :n_bins]) + jnp.square(y[:, n_bins:])
+    if not use_power:  # magnitude spectrum (KaldiFbank use_power=False)
+        power = jnp.sqrt(power)
     feats = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     if use_log:
@@ -64,7 +67,8 @@ def _build(cfg: FbankConfig, mean_norm: bool, interpret: bool):
     mel = jnp.asarray(mel_banks(cfg), jnp.float32)
 
     kernel = functools.partial(_fbank_kernel, n_bins=n_bins,
-                               use_log=cfg.use_log_fbank)
+                               use_log=cfg.use_log_fbank,
+                               use_power=cfg.use_power)
 
     @jax.jit
     def fn(wav):

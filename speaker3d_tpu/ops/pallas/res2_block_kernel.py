@@ -216,6 +216,12 @@ def res2_block_fused(x, p: FoldedRes2Block, *, stride: int = 1,
     tp = n_t * t_tile
     if tp != t:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+    if t_tile % HALO_BLOCK:
+        raise ValueError(f"t_tile must be a multiple of {HALO_BLOCK}, "
+                         f"got {t_tile} (halo slivers are indexed in "
+                         f"{HALO_BLOCK}-frame units)")
+    if tp % HALO_BLOCK:
+        raise ValueError(f"padded time {tp} not divisible by {HALO_BLOCK}")
     n_halo = tp // HALO_BLOCK
     r = t_tile // HALO_BLOCK
 

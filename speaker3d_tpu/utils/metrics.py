@@ -41,6 +41,9 @@ def compute_eer(scores=None, labels=None, *, fnr=None, fpr=None,
     (reference: utils/score_metrics.py:78-92)"""
     if fnr is None or fpr is None:
         fnr, fpr = fnr_fpr_curve(scores, labels)
+    if return_threshold and scores is None:
+        raise ValueError("return_threshold=True requires `scores` "
+                         "(thresholds are score values)")
     diff = fnr - fpr
     pos, neg = np.flatnonzero(diff >= 0), np.flatnonzero(diff < 0)
     if len(pos) == 0 or len(neg) == 0:
