@@ -31,8 +31,12 @@ import numpy as np
 
 SEG_SECONDS = 3.0
 SAMPLE_RATE = 16000
-BATCH = 256
-ITERS = 20
+# B=128 is the measured throughput-optimal serving batch on v5e: batch
+# amortization saturates by 128 and B=256 runs slightly slower (7,437 vs
+# 7,255 audio-s/s, tools/bench_batch_sweep.py; docs/BENCH.md). ITERS
+# doubled to keep the same audio volume per timed dispatch.
+BATCH = 128
+ITERS = 40
 V100_BASELINE_AUDIO_S_PER_S = 500.0
 
 
