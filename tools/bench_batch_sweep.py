@@ -1,12 +1,14 @@
 """Batch-size sweep for ERes2NetV2 bf16 serving throughput.
 
-Checks whether the headline bench batch (256) leaves throughput on the
-table — larger batches amortize per-op fixed costs; smaller ones may fit
-cache better. Methodology identical to bench.py (in-jit fori_loop,
-per-iteration input variation, device->host checksum fetch; see
-docs/DESIGN.md and CLAUDE.md for why naive timing is invalid here).
+Checks whether the headline bench batch leaves throughput on the table —
+larger batches amortize per-op fixed costs; smaller ones may fit cache
+better. Result (docs/BENCH.md): amortization saturates by B=128 (7,437)
+and B=256 is slightly slower (7,255), so bench.py runs at B=128.
+Methodology identical to bench.py (in-jit fori_loop, per-iteration input
+variation, device->host checksum fetch; see docs/DESIGN.md and CLAUDE.md
+for why naive timing is invalid here).
 
-Usage: python tools/bench_batch_sweep.py [B1 B2 ...]   (default 256 512)
+Usage: python tools/bench_batch_sweep.py [B1 B2 ...]  (default 128 256 512)
 """
 
 import json
@@ -56,7 +58,7 @@ def measure(batch: int) -> float:
 
 
 def main():
-    batches = [int(b) for b in sys.argv[1:]] or [256, 512]
+    batches = [int(b) for b in sys.argv[1:]] or [128, 256, 512]
     results = {}
     for b in batches:
         results[str(b)] = round(measure(b), 1)
