@@ -20,7 +20,14 @@ data=data
 
 cd "$(dirname "$0")"
 REPO_ROOT=$(cd ../../.. && pwd)
-export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+if [ -n "${PALLAS_AXON_POOL_IPS:-}" ]; then
+  # tunneled-TPU harness: PYTHONPATH breaks axon PJRT plugin registration
+  # (see CLAUDE.md); import speaker3d_tpu via a cwd symlink instead (the
+  # reference uses the same speakerlab symlink convention in its recipes)
+  [ -e speaker3d_tpu ] || ln -s "$REPO_ROOT/speaker3d_tpu" speaker3d_tpu
+else
+  export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+fi
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "stage 1: prepare corpus lists (train CSV w/o Device09, test scp, trials)"

@@ -3,7 +3,15 @@
 # stage 1 prepares the dataset (download + clip extraction + loader CSVs,
 # local/download_data.sh), stage 2 trains, stage 3 evaluates (mAP).
 set -euo pipefail
-cd "$(dirname "$0")"; REPO_ROOT=$(cd ../../.. && pwd); export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+cd "$(dirname "$0")"; REPO_ROOT=$(cd ../../.. && pwd)
+if [ -n "${PALLAS_AXON_POOL_IPS:-}" ]; then
+  # tunneled-TPU harness: PYTHONPATH breaks axon PJRT plugin registration
+  # (see CLAUDE.md); import speaker3d_tpu via a cwd symlink instead (the
+  # reference uses the same speakerlab symlink convention in its recipes)
+  [ -e speaker3d_tpu ] || ln -s "$REPO_ROOT/speaker3d_tpu" speaker3d_tpu
+else
+  export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+fi
 
 stage=${STAGE:-2}
 stop_stage=${STOP_STAGE:-3}

@@ -4,7 +4,15 @@
 # experiment, fine-tune on the mixed-corpus CSV, then audit speaker/utt
 # cosine similarities across the adult and kid subsets.
 set -euo pipefail
-cd "$(dirname "$0")"; REPO_ROOT=$(cd ../../.. && pwd); export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+cd "$(dirname "$0")"; REPO_ROOT=$(cd ../../.. && pwd)
+if [ -n "${PALLAS_AXON_POOL_IPS:-}" ]; then
+  # tunneled-TPU harness: PYTHONPATH breaks axon PJRT plugin registration
+  # (see CLAUDE.md); import speaker3d_tpu via a cwd symlink instead (the
+  # reference uses the same speakerlab symlink convention in its recipes)
+  [ -e speaker3d_tpu ] || ln -s "$REPO_ROOT/speaker3d_tpu" speaker3d_tpu
+else
+  export PYTHONPATH=$REPO_ROOT:${PYTHONPATH:-}
+fi
 stage=${STAGE:-1}; stop_stage=${STOP_STAGE:-4}
 data_csv=${DATA_CSV:-data/train_mix.csv}      # ID,wav,spk over both corpora
 base_exp=${BASE_EXP:-exp/eres2netv2_base}     # pretrained base experiment
