@@ -208,11 +208,15 @@ def main(argv=None):
             global_step += 1
             if shutdown.requested:
                 break
+            # keep device scalars; fetching floats every step would sync
+            # the pipeline per step — convert only at log points (the epoch
+            # average covers EVERY batch, reference AverageMeter semantics)
+            losses.append(metrics["loss"])
+            accs.append(metrics["acc"])
             if (i + 1) % log_every == 0:
-                losses.append(float(metrics["loss"]))
-                accs.append(float(metrics["acc"]))
                 print(f"epoch {epoch} step {i+1}/{step_per_epoch} "
-                      f"loss {losses[-1]:.4f} acc {accs[-1]:.3f} "
+                      f"loss {float(losses[-1]):.4f} "
+                      f"acc {float(accs[-1]):.3f} "
                       f"lr {float(metrics['lr']):.5f} "
                       f"margin {float(metrics['margin']):.3f}", flush=True)
         if shutdown.requested:

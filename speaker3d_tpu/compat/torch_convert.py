@@ -105,6 +105,44 @@ def convert_torch_state_dict(
     return traverse_util.unflatten_dict(out)
 
 
+def export_torch_state_dict(variables: Mapping[str, Any],
+                            prefix: str = "") -> dict:
+    """Inverse of ``convert_torch_state_dict``: Flax variables -> a torch
+    state_dict of numpy arrays (pass through ``torch.from_numpy`` before
+    ``load_state_dict``).
+
+    Enables round-tripping trained TPU weights back into the reference's
+    torch models (reference: bin/export_speaker_embedding_onnx.py exports
+    FROM torch; this is the matching bridge in the other direction).
+    Caveat: a Dense layer that was populated from a k=1 Conv1d via the
+    reshape branch of the forward converter exports in Dense layout.
+    """
+    flat = traverse_util.flatten_dict(variables)
+    out = {}
+    for path, val in flat.items():
+        mods, leaf = list(path[1:-1]), path[-1]
+        tleaf = _LEAF_TO_TORCH.get(leaf)
+        if tleaf is None and "." in leaf:
+            head, tail = leaf.rsplit(".", 1)
+            if tail in _LEAF_TO_TORCH:
+                mods = mods + [head]
+                leaf, tleaf = tail, tail
+        if tleaf is None:
+            raise KeyError(f"no torch mapping for flax leaf {path}")
+        t = np.asarray(val)
+        if leaf == "kernel":
+            if t.ndim == 5:  # DHWIO -> [O, I, kD, kH, kW]
+                t = t.transpose(4, 3, 0, 1, 2)
+            elif t.ndim == 4:  # HWIO -> [O, I, kH, kW]
+                t = t.transpose(3, 2, 0, 1)
+            elif t.ndim == 3:  # WIO -> [O, I, K]
+                t = t.transpose(2, 1, 0)
+            elif t.ndim == 2:  # [I, O] -> [O, I]
+                t = t.T
+        out[prefix + ".".join(mods + [tleaf])] = t
+    return out
+
+
 def variables_shape_tree(model, *example_args, **example_kwargs):
     """Structure/shape tree of ``model.init`` WITHOUT running it.
 

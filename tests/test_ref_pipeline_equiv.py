@@ -1,0 +1,492 @@
+"""Whole-pipeline RTTM equivalence against the reference's own code.
+
+Every component (VAD post-processing, chunking, circle-pad, model forward,
+clustering, compressed_seg, RTTM writing) is parity-tested in isolation
+elsewhere; this module closes the composition gap by driving the reference's
+actual ``Diarization3Dspeaker`` (reference: bin/infer_diarization.py:191-315)
+on CPU torch and our ``DiarizationPipeline`` on the same synthetic
+conversations with identical knobs, then requiring identical segment fields
+and byte-identical RTTM.
+
+In-container substitutions on the REFERENCE side (each justified):
+  - TenVad is a closed native lib -> the same EnergyVAD callable is injected
+    into BOTH pipelines (the reference treats the VAD as a pluggable
+    flags-producer; its in-repo post-processing chain is what's under test).
+  - torchaudio is absent -> feature_extractor is a torch mirror of Kaldi
+    fbank(dither=0) (same algorithm as tests/golden_fbank.py, which pins our
+    JAX frontend to the reference's own C++ frontend via the frozen oracle).
+  - fastcluster is absent -> scipy average linkage (the identical
+    algorithm; our AHC uses scipy too, so linkage semantics match on both
+    sides by construction).
+  - modelscope downloads are impossible offline -> the embedding model is a
+    reduced-width random-weight ERes2NetV2 (full topology: 4 stages + AFF
+    fusion) converted through speaker3d_tpu.compat, exactly as the
+    per-model parity tests do.
+"""
+
+import importlib
+import math
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.conftest import has_reference
+from tests.golden_fbank import EPS
+
+pytestmark = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not mounted")
+
+FS = 16000
+SEEDS = [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# reference import machinery
+# ---------------------------------------------------------------------------
+
+def _stub_module(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _import_ref_mod():
+    """Import the reference's bin/infer_diarization with absent third-party
+    deps stubbed. None of the stubs participate in the compared numerics."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    _stub_module("torchaudio")  # fileio imports it; unused for 16k ndarray
+    _stub_module("modelscope")
+    _stub_module("modelscope.pipelines", pipeline=None)
+    _stub_module("modelscope.utils")
+    _stub_module("modelscope.utils.constant", Tasks=types.SimpleNamespace())
+    _stub_module("umap")  # only UmapHdbscan uses these; not exercised here
+    _stub_module("hdbscan")
+    from scipy.cluster.hierarchy import linkage as _scipy_linkage
+
+    _stub_module(
+        "fastcluster",
+        linkage=lambda X, method="average", preserve_input=True:
+            _scipy_linkage(X, method=method))
+    return importlib.import_module("speakerlab.bin.infer_diarization")
+
+
+# ---------------------------------------------------------------------------
+# injected components (shared by both pipelines)
+# ---------------------------------------------------------------------------
+
+class TorchKaldiFbank:
+    """torch mirror of torchaudio Kaldi fbank(dither=0) + reference FBank's
+    mean_nor (reference: process/processor.py:133-158); vmap-compatible the
+    way the reference uses it (torch.vmap at bin/infer_diarization.py:634).
+    Same algorithm as tests/golden_fbank.py, float32."""
+
+    def __init__(self, n_mels=80, sample_rate=16000, mean_nor=True):
+        import torch
+
+        assert sample_rate == 16000
+        self.L, self.S, self.nfft = 400, 160, 512
+        self.mean_nor = mean_nor
+        i = np.arange(self.L, dtype=np.float64)
+        win = (0.5 - 0.5 * np.cos(2 * np.pi / (self.L - 1) * i)) ** 0.85
+        self.win = torch.from_numpy(win.astype(np.float32))
+
+        def mel(f):
+            return 1127.0 * np.log1p(np.asarray(f, dtype=np.float64) / 700.0)
+
+        nbins = self.nfft // 2
+        mlo, mhi = mel(20.0), mel(sample_rate / 2)
+        d = (mhi - mlo) / (n_mels + 1)
+        bank = np.zeros((nbins + 1, n_mels))
+        bin_m = mel(np.arange(nbins) * sample_rate / self.nfft)
+        for b in range(n_mels):
+            left, center, right = mlo + b * d, mlo + (b + 1) * d, mlo + (b + 2) * d
+            up = (bin_m - left) / (center - left)
+            down = (right - bin_m) / (right - center)
+            bank[:nbins, b] = np.maximum(0, np.minimum(up, down))
+        self.bank = torch.from_numpy(bank.astype(np.float32))
+
+    def __call__(self, wav, dither=0):
+        import torch
+
+        x = wav.reshape(-1)
+        m = 1 + (x.shape[0] - self.L) // self.S
+        idx = (torch.arange(m)[:, None] * self.S + torch.arange(self.L)[None, :])
+        frames = x[idx]
+        frames = frames - frames.mean(dim=1, keepdim=True)
+        frames = frames - 0.97 * torch.cat(
+            [frames[:, :1], frames[:, :-1]], dim=1)
+        frames = frames * self.win
+        spec = torch.fft.rfft(frames, n=self.nfft, dim=1)
+        power = spec.real ** 2 + spec.imag ** 2
+        feats = torch.log(torch.clamp(power @ self.bank, min=EPS))
+        if self.mean_nor:
+            feats = feats - feats.mean(dim=0, keepdim=True)
+        return feats
+
+
+class RefVadAdapter:
+    """Wrap our EnergyVAD with the TenVadWrapper calling convention the
+    reference expects (torch tensor in, (flags, np wav) out; reference:
+    bin/infer_diarization.py:134-163)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def __call__(self, wav_1d):
+        x = (wav_1d.detach().cpu().numpy() if hasattr(wav_1d, "detach")
+             else np.asarray(wav_1d))
+        return self.inner(x.astype(np.float32))
+
+
+def _make_ref_pipeline(ref_mod, embedding_model, feature_extractor, vad,
+                       cluster):
+    """Assemble Diarization3Dspeaker without its downloading __init__
+    (attribute list mirrors reference bin/infer_diarization.py:214-256)."""
+    import torch
+
+    D = ref_mod.Diarization3Dspeaker.__new__(ref_mod.Diarization3Dspeaker)
+    D.device = torch.device("cpu")
+    D.include_overlap = False
+    D.embedding_model = embedding_model
+    D.feature_extractor = feature_extractor
+    D.vad_model = vad
+    D.cluster = cluster
+    D.batchsize = 64
+    D.chunk_dur = 1.5
+    D.chunk_step = 0.75
+    D.fs = FS
+    D.output_field_labels = None
+    D.speaker_num = None
+    D.no_chunk_after_vad = False
+    D.last_vad_time = None
+    D.last_vad_time_raw = None
+    D.last_vad_time_processed = None
+    D.last_vad_masked_audio = None
+    D.last_vad_refined_mask = None
+    D.last_vad_processed_mask = None
+    D.vad_frame_size_ms = 16.0
+    D.vad_min_speech_ms = 200.0
+    D.vad_max_silence_ms = 300.0
+    D.vad_energy_threshold = 0.05
+    D.vad_boundary_expansion_ms = 10.0
+    D.vad_boundary_energy_percentile = 10.0
+    return D
+
+
+# ---------------------------------------------------------------------------
+# synthetic conversations (same synthesizer family as tools/eval_diar_synthetic)
+# ---------------------------------------------------------------------------
+
+def _voice(rng, n, f0):
+    t = np.arange(n) / FS
+    f = f0 * (1 + 0.015 * rng.standard_normal())
+    sig = (np.sin(2 * np.pi * f * t) + 0.5 * np.sin(2 * np.pi * 2 * f * t)
+           + 0.25 * np.sin(2 * np.pi * 3 * f * t))
+    am = 0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t + rng.uniform(0, 6.28))
+    return (0.3 * am * sig + 0.004 * rng.standard_normal(n)).astype(np.float32)
+
+
+def _conversation(seed, dur=60.0):
+    rng = np.random.default_rng(seed)
+    wav = 0.002 * rng.standard_normal(int(dur * FS)).astype(np.float32)
+    f0s = [110.0, 220.0, 330.0]
+    t, spk = 1.0, 0
+    while t < dur - 5.0:
+        turn = rng.uniform(2.0, 4.5)
+        n = int(turn * FS)
+        s0 = int(t * FS)
+        wav[s0:s0 + n] += _voice(rng, n, f0s[spk])
+        t += turn + rng.uniform(0.4, 1.0)
+        spk = (spk + 1) % 3
+    return np.clip(wav, -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# fixtures: paired models (torch golden + converted flax) built once
+# ---------------------------------------------------------------------------
+
+MODEL_KW = dict(m_channels=16, embedding_size=64, feat_dim=80)
+
+
+@pytest.fixture(scope="module")
+def paired_models():
+    import torch
+
+    from speaker3d_tpu.compat import load_into_model
+    from speaker3d_tpu.eval.embedding import build_embedding_fn
+    from speaker3d_tpu.models.eres2netv2 import ERes2NetV2 as FlaxERes2NetV2
+
+    ref_mod = _import_ref_mod()
+    from speakerlab.models.eres2net.ERes2NetV2 import (
+        ERes2NetV2 as TorchERes2NetV2)
+
+    torch.manual_seed(0)
+    tm = TorchERes2NetV2(**MODEL_KW)
+    tm.eval()
+
+    fm = FlaxERes2NetV2(**MODEL_KW)
+    probe = np.zeros((1, 150, 80), np.float32)
+    variables = load_into_model(fm, tm.state_dict(), probe)
+    embed_fn = build_embedding_fn(fm, variables, mean_norm=True)
+    return ref_mod, tm, embed_fn
+
+
+def _make_clusters(ref_mod, kind, kw=None):
+    """Identically-configured clustering backends for both sides."""
+    from speakerlab.process.cluster import CommonClustering as RefCC
+
+    from speaker3d_tpu.diar.cluster import CommonClustering as OurCC
+
+    if kw is None:
+        if kind == "AHC":
+            # fork defaults (reference: bin/infer_diarization.py:105-118)
+            kw = dict(mer_cos=0.3, fix_cos_thr=0.3, min_cluster_size=0)
+        else:
+            # recipe spectral config (reference: egs/.../conf/diar.yaml)
+            kw = dict(mer_cos=0.8, min_cluster_size=4, pval=0.012,
+                      max_num_spks=15)
+    return RefCC(kind, **kw), OurCC(kind, **kw)
+
+
+def _canon(fields):
+    """Renumber cluster ids by first appearance. k-means label numbering is
+    init-dependent even between two runs of the reference itself (sklearn
+    k_means with no random_state, reference process/cluster.py:107-110), so
+    first-appearance order is the well-defined label equivalence."""
+    remap = {}
+    out = []
+    for st, ed, cid in fields:
+        if cid not in remap:
+            remap[cid] = len(remap)
+        out.append([st, ed, remap[cid]])
+    return out
+
+
+def _run_pair(paired_models, kind, seed, tmp_path, cluster_kw=None,
+              min_clusters=1):
+    import torch
+
+    from speaker3d_tpu.diar.pipeline import DiarizationPipeline
+    from speaker3d_tpu.diar.vad import EnergyVAD
+
+    ref_mod, tm, embed_fn = paired_models
+    ref_cluster, our_cluster = _make_clusters(ref_mod, kind, cluster_kw)
+    wav = _conversation(seed)
+
+    ref_pipe = _make_ref_pipeline(
+        ref_mod, tm, TorchKaldiFbank(mean_nor=True),
+        RefVadAdapter(EnergyVAD(FS)), ref_cluster)
+    our_pipe = DiarizationPipeline(
+        embed_fn, sample_rate=FS, vad=EnergyVAD(FS), cluster=our_cluster)
+
+    # seed the global numpy RNG identically before each side: sklearn
+    # k_means draws from it (spectral path); AHC is deterministic
+    np.random.seed(1234 + seed)
+    ref_fields = ref_pipe(wav[None, :], wav_fs=FS)
+    np.random.seed(1234 + seed)
+    our_fields = our_pipe(wav, wav_fs=FS)
+
+    # ---- VAD + chunk arithmetic: bitwise float equality ----
+    assert ref_pipe.last_vad_time == our_pipe.last_vad_time
+    ref_chunks = [c for st, ed in ref_pipe.last_vad_time
+                  for c in ref_pipe.chunk(st, ed)]
+    assert ref_chunks == our_pipe.last_chunks
+    assert len(ref_chunks) >= 40, "need the real (non-short-N) cluster path"
+
+    # ---- embeddings: near-identical across frameworks ----
+    with torch.no_grad():
+        ref_embs = ref_pipe.do_emb_extraction(
+            ref_chunks, torch.from_numpy(wav[None, :]))
+    ours = our_pipe.last_embeddings
+    cos = np.sum(ref_embs * ours, -1) / (
+        np.linalg.norm(ref_embs, axis=-1) * np.linalg.norm(ours, axis=-1))
+    assert np.all(cos > 1 - 1e-4), cos.min()
+
+    # ---- final fields ----
+    if kind == "AHC":
+        assert ref_fields == our_fields  # fcluster ids are deterministic
+        rf, of = ref_fields, our_fields
+    else:
+        rf, of = _canon(ref_fields), _canon(our_fields)
+        assert rf == of
+    assert len(set(x[2] for x in rf)) >= min_clusters
+
+    # ---- byte-identical RTTM from each side's own writer ----
+    ref_rttm = tmp_path / f"ref_{kind}_{seed}.rttm"
+    our_rttm = tmp_path / f"our_{kind}_{seed}.rttm"
+    ref_pipe.save_diar_output(str(ref_rttm), wav_id="conv",
+                              output_field_labels=rf)
+    our_pipe.save_diar_output(str(our_rttm), wav_id="conv",
+                              output_field_labels=of)
+    assert ref_rttm.read_bytes() == our_rttm.read_bytes()
+    assert ref_rttm.read_bytes().startswith(b"SPEAKER conv 0 ")
+    return rf
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", SEEDS)
+def test_ahc_path_equivalence(paired_models, seed, tmp_path):
+    fields = _run_pair(paired_models, "AHC", seed, tmp_path)
+    assert len(fields) > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", SEEDS)
+def test_spectral_path_equivalence(paired_models, seed, tmp_path):
+    fields = _run_pair(paired_models, "spectral", seed, tmp_path)
+    assert len(fields) > 0
+
+
+# ---------------------------------------------------------------------------
+# trained-model equivalence: non-degenerate multi-cluster labels
+# ---------------------------------------------------------------------------
+# Random-weight embeddings of the synthetic voices do not separate (cross-
+# speaker cosines overlap within-speaker ones; a BRIEFLY-trained tiny
+# ERes2NetV2 does not either — its raw embedding carries a huge shared
+# component that swamps emb-emb cosines at toy scale even at train acc 1.0).
+# So the tests above exercise the label path only degenerately (everything
+# merges), and here a tiny Xvector — which separates cleanly at this scale
+# (within-speaker cos ~1.0, cross ~0.3-0.7; same recipe as
+# tools/eval_diar_synthetic.py) — is TRAINED via the real cli/train,
+# round-tripped into the reference's own torch Xvector through
+# compat.export_torch_state_dict, and the clustering thresholds sit mid-gap
+# so >= 2 clusters survive on both sides.
+
+XVEC_KW = dict(feat_dim=80, hid_dim=16, stats_dim=32, embed_dim=16)
+
+
+@pytest.fixture(scope="module")
+def trained_paired_models(tmp_path_factory):
+    import torch
+    import yaml
+
+    from speaker3d_tpu.cli.extract import build_model_from_exp
+    from speaker3d_tpu.cli.train import main as train_main
+    from speaker3d_tpu.compat import export_torch_state_dict
+    from speaker3d_tpu.eval.embedding import build_embedding_fn
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    ref_mod = _import_ref_mod()
+    from speakerlab.models.xvector.TDNN import Xvector as TorchXvector
+
+    root = str(tmp_path_factory.mktemp("ref_equiv_trained"))
+    rng = np.random.default_rng(7)
+    rows = []
+    for s, f0 in enumerate([110.0, 220.0, 330.0]):
+        for u in range(12):
+            p = f"{root}/spk{s}_u{u}.wav"
+            write_wav(p, _voice(rng, 2 * FS, f0), FS)
+            rows.append((f"spk{s}_u{u}", p, f"spk{s}"))
+    csv = f"{root}/train.csv"
+    with open(csv, "w") as f:
+        f.write("ID,wav,spk\n")
+        f.writelines(f"{a},{b},{c}\n" for a, b, c in rows)
+
+    cfg = {"exp_dir": f"{root}/exp", "data": csv, "wav_len": 1.0,
+           "speed_pertub": False, "aug_prob": 0.0, "batch_size": 12,
+           "num_workers": 2, "num_epoch": 40, "embedding_size": 16,
+           "max_lr": 0.1, "min_lr": 0.005, "warmup_epoch": 2,
+           "log_batch_freq": 100, "increase_start_epoch": 4,
+           "margin_fix_epoch": 16, "final_margin": 0.4,
+           "model": {"obj": "speaker3d_tpu.models.xvector.Xvector",
+                     "args": XVEC_KW}}
+    cfg_path = f"{root}/cfg.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    train_main(["--config", cfg_path])
+
+    fm, variables, _ = build_model_from_exp(cfg["exp_dir"])
+    embed_fn = build_embedding_fn(fm, variables, mean_norm=True)
+
+    tm = TorchXvector(**XVEC_KW)
+    # np.array(copy=True): jax buffers are read-only, from_numpy needs writable
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in export_torch_state_dict(variables).items()}
+    res = tm.load_state_dict(sd, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    assert all(k.endswith("num_batches_tracked") for k in res.missing_keys), \
+        res.missing_keys
+    tm.eval()
+
+    # the synthetic setup must actually separate, else the multi-cluster
+    # tests silently degrade to the degenerate case above
+    probe_rng = np.random.default_rng(99)
+    wavs, labels = [], []
+    for s, f0 in enumerate([110.0, 220.0, 330.0]):
+        for _ in range(6):
+            wavs.append(_voice(probe_rng, int(1.5 * FS), f0))
+            labels.append(s)
+    z = np.array(embed_fn(np.stack(wavs)))
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    aff = z @ z.T
+    lab = np.array(labels)
+    within = aff[(lab[:, None] == lab[None, :]) & ~np.eye(len(lab), dtype=bool)]
+    cross = aff[lab[:, None] != lab[None, :]]
+    # average-linkage and centroid merges act on MEANS, so the gate is on
+    # the means (individual pairs vary run-to-run at this toy scale)
+    assert within.mean() > 0.99 and cross.mean() < 0.90, (
+        within.mean(), cross.mean())
+    return ref_mod, tm, embed_fn
+
+
+# mid-gap thresholds for the trained embeddings (the fixture asserts
+# within-speaker cos > 0.99 and cross-speaker < 0.90 on average)
+TRAINED_KW = {
+    "AHC": dict(mer_cos=0.98, fix_cos_thr=0.97, min_cluster_size=0),
+    "spectral": dict(mer_cos=0.98, min_cluster_size=4, pval=0.012,
+                     max_num_spks=15),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["AHC", "spectral"])
+def test_trained_multicluster_equivalence(trained_paired_models, kind,
+                                          tmp_path):
+    fields = _run_pair(trained_paired_models, kind, seed=0,
+                       tmp_path=tmp_path, cluster_kw=TRAINED_KW[kind],
+                       min_clusters=2)
+    assert len(fields) > 0
+
+
+def test_export_torch_state_dict_roundtrip():
+    """torch -> flax -> torch must reproduce every tensor bit-for-bit."""
+    import torch
+
+    from speaker3d_tpu.compat import export_torch_state_dict, load_into_model
+    from speaker3d_tpu.models.eres2netv2 import ERes2NetV2 as FlaxERes2NetV2
+
+    _import_ref_mod()
+    from speakerlab.models.eres2net.ERes2NetV2 import (
+        ERes2NetV2 as TorchERes2NetV2)
+
+    torch.manual_seed(3)
+    tm = TorchERes2NetV2(**MODEL_KW)
+    variables = load_into_model(
+        FlaxERes2NetV2(**MODEL_KW), tm.state_dict(),
+        np.zeros((1, 150, 80), np.float32))
+    back = export_torch_state_dict(variables)
+    sd = tm.state_dict()
+    torch_keys = {k for k in sd if not k.endswith("num_batches_tracked")}
+    assert torch_keys == set(back)
+    for k in torch_keys:
+        np.testing.assert_array_equal(back[k], sd[k].numpy(), err_msg=k)
+
+
+def test_torch_fbank_matches_golden():
+    """The injected reference-side fbank must itself match the golden
+    numpy Kaldi implementation (which the frozen C++ oracle pins)."""
+    import torch
+
+    from tests.golden_fbank import golden_fbank
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(FS).astype(np.float32) * 0.1
+    ref = golden_fbank(wav, mean_norm=True)
+    got = TorchKaldiFbank(mean_nor=True)(torch.from_numpy(wav)).numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
