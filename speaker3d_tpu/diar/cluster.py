@@ -200,20 +200,53 @@ class AHCluster:
     """Average-linkage AHC cut at a fixed cosine threshold.
     (reference: process/cluster.py:139-156)
 
-    ``backend='jax'`` computes the O(N^2 d) cosine affinity on the
-    accelerator (fp32; the dominant host cost at hour-scale N) — the
-    linkage merges stay on host scipy. numpy (float64) remains the default
-    because float32 rounding can flip near-tie merge orders."""
+    Backends:
+      - 'numpy' (exact scipy linkage over the condensed float64 -cos
+        matrix; O(N^2) memory — 1 GB at N=16k, the reference's own
+        scaling cliff).
+      - 'jax': same scipy linkage, but the O(N^2 d) affinity is computed
+        on the accelerator (loses on download-bound hosts; see
+        docs/BENCH.md).
+      - 'nnchain': host NN-chain over (sum-vector, size) cluster
+        representations (diar/ahc_nnchain.py) — O(N d) memory, float64,
+        same dendrogram for this reducible linkage.
+      - 'nnchain_device': the whole dendrogram built in one jitted
+        lax.while_loop on the accelerator (float32), labels-only
+        download. Hour-scale N in seconds.
+      - 'auto' (default): exact scipy up to ``auto_nnchain_n`` rows (all
+        small-N behavior and parity pins unchanged), NN-chain above it —
+        on device when an accelerator is present, host otherwise.
+    """
 
-    def __init__(self, fix_cos_thr=0.4, backend: str = "numpy"):
+    def __init__(self, fix_cos_thr=0.4, backend: str = "auto",
+                 auto_nnchain_n: int = 4096):
         self.fix_cos_thr = fix_cos_thr
         self.backend = backend
+        self.auto_nnchain_n = auto_nnchain_n
+
+    def _resolve_backend(self, n):
+        if self.backend != "auto":
+            return self.backend
+        if n <= self.auto_nnchain_n:
+            return "numpy"
+        import jax
+
+        on_accel = jax.devices()[0].platform != "cpu"
+        return "nnchain_device" if on_accel else "nnchain"
 
     def __call__(self, X, **kwargs):
         from scipy.cluster.hierarchy import fcluster, linkage
         from scipy.spatial.distance import squareform
 
-        if self.backend == "jax":
+        backend = self._resolve_backend(np.asarray(X).shape[0])
+        if backend in ("nnchain", "nnchain_device"):
+            from speaker3d_tpu.diar import ahc_nnchain
+
+            fn = (ahc_nnchain.device_linkage_labels
+                  if backend == "nnchain_device"
+                  else ahc_nnchain.linkage_labels)
+            return fn(X, self.fix_cos_thr)
+        if backend == "jax":
             import jax.numpy as jnp
 
             aff = np.asarray(

@@ -3,10 +3,13 @@
 Checks whether the headline bench batch leaves throughput on the table —
 larger batches amortize per-op fixed costs; smaller ones may fit cache
 better. Result (docs/BENCH.md): amortization saturates by B=128 (7,437)
-and B=256 is slightly slower (7,255), so bench.py runs at B=128.
-Methodology identical to bench.py (in-jit fori_loop, per-iteration input
+and B=256 is slightly slower (7,255), so bench.py runs at B=128 — note the
+B=128-vs-256 margin (~2.5%) is near the documented run-to-run spread
+(~1.3%), so "optimal" means "at the plateau", not a material win.
+Same methodology as bench.py (in-jit fori_loop, per-iteration input
 variation, device->host checksum fetch; see docs/DESIGN.md and CLAUDE.md
-for why naive timing is invalid here).
+for why naive timing is invalid here), with ITERS=20 per point vs
+bench.py's 40 — half the audio volume per timed dispatch.
 
 Usage: python tools/bench_batch_sweep.py [B1 B2 ...]  (default 128 256 512)
 """

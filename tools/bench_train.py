@@ -30,12 +30,10 @@ NUM_CLASSES = 8000
 STEPS = 10
 
 
-def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
-    model_name = sys.argv[4] if len(sys.argv) > 4 else "eres2netv2"
-
+def bench_train(batch=128, dtype="bfloat16", remat=False,
+                model_name="eres2netv2"):
+    """Measure the production train step; returns the result dict.
+    (bench.py reuses this for its driver-visible training line.)"""
     import jax
 
     from speaker3d_tpu.ops.fbank import FbankConfig, KaldiFbank
@@ -78,12 +76,20 @@ def main():
     elapsed = time.perf_counter() - t0
 
     value = batch * SEG_SECONDS * STEPS / elapsed
-    print(json.dumps({
+    return {
         "metric": "train_throughput", "model": model_name,
         "batch": batch, "dtype": dtype, "remat": remat, "steps": STEPS,
         "value": round(value, 1), "unit": "audio-seconds/s/chip",
         "utts_per_s": round(batch * STEPS / elapsed, 1),
-    }))
+    }
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+    model_name = sys.argv[4] if len(sys.argv) > 4 else "eres2netv2"
+    print(json.dumps(bench_train(batch, dtype, remat, model_name)))
 
 
 if __name__ == "__main__":
