@@ -25,6 +25,7 @@
 #include <sstream>
 #include <string>
 
+#include "s3d/chunk_plan.h"
 #include "s3d/embedder.h"
 #include "s3d/fbank.h"
 #include "s3d/pjrt_engine.h"
@@ -83,8 +84,27 @@ int main(int argc, char** argv) {
     if (!(ss >> utt >> path)) continue;
     const s3d::WavData wav = s3d::ReadWav(path);
     total_audio_s += static_cast<double>(wav.samples.size()) / wav.sample_rate;
-    const auto feats = fbank.Compute(wav.samples);
-    const auto emb = embed(feats);
+    std::vector<float> emb;
+    if (aot && !aot->bucket_samples().empty()) {
+      // variable-length serving: 10 s chunks / 90 s cap / circle-pad each
+      // chunk to the smallest duration bucket / mean over chunk embeddings
+      // (infer_sv_batch semantics; buckets from aot.json)
+      const auto plan = s3d::PlanChunks(
+          static_cast<int64_t>(wav.samples.size()), aot->bucket_samples(),
+          aot->max_samples() > 0 ? aot->max_samples()
+                                 : static_cast<int64_t>(90) * 16000);
+      if (plan.empty()) continue;
+      for (const auto& c : plan) {
+        const auto piece = s3d::CirclePad(wav.samples.data() + c.start,
+                                          c.length, c.padded);
+        const auto e = embed(fbank.Compute(piece));
+        if (emb.empty()) emb.assign(e.size(), 0.0f);
+        for (size_t i = 0; i < e.size(); ++i) emb[i] += e[i];
+      }
+      for (auto& v : emb) v /= static_cast<float>(plan.size());
+    } else {
+      emb = embed(fbank.Compute(wav.samples));
+    }
 
     const std::string out_path = std::string(argv[2]) + "/" + utt + ".emb";
     std::FILE* f = std::fopen(out_path.c_str(), "w");

@@ -25,18 +25,26 @@ class PjrtEngine {
   PjrtEngine(const std::string& plugin_so, const std::string& model_dir);
   ~PjrtEngine();
 
-  // feats [num_frames][feat_dim]: padded/trimmed to the compiled frame
-  // count, executed, returns the embedding.
+  // feats [num_frames][feat_dim]: executed on the bucket executable with
+  // the smallest compiled frame count >= num_frames (padded by repeating
+  // the last frame / trimmed when no bucket fits), returns the embedding.
   std::vector<float> Embed(const std::vector<std::vector<float>>& feats);
 
   int frames() const { return frames_; }
   int feat_dim() const { return feat_dim_; }
+  // variable-length serving meta (empty when the artifact is single-shape)
+  const std::vector<int64_t>& bucket_samples() const {
+    return bucket_samples_;
+  }
+  int64_t max_samples() const { return max_samples_; }
 
  private:
   struct Impl;
   Impl* impl_;
   int frames_ = 0;
   int feat_dim_ = 0;
+  std::vector<int64_t> bucket_samples_;
+  int64_t max_samples_ = 0;
 };
 
 }  // namespace s3d

@@ -76,7 +76,9 @@ struct PjrtEngine::Impl {
   const PJRT_Api* api = nullptr;
   PJRT_Client* client = nullptr;
   PJRT_Device* device = nullptr;
-  PJRT_LoadedExecutable* executable = nullptr;
+  // (compiled frame count, executable), ascending by frames; single-shape
+  // artifacts have exactly one entry
+  std::vector<std::pair<int, PJRT_LoadedExecutable*>> execs;
   int emb_dim = 0;
 
   void Check(PJRT_Error* err, const char* what) {
@@ -206,13 +208,38 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
     impl_->device = a.addressable_devices[0];
   }
 
-  // model meta + StableHLO module
+  // model meta + StableHLO module(s)
   const std::string meta = ReadFile(model_dir + "/aot.json");
   frames_ = std::stoi(JsonValue(meta, "frames"));
   feat_dim_ = std::stoi(JsonValue(meta, "feat_dim"));
   impl_->emb_dim = std::stoi(JsonValue(meta, "embedding_dim"));
 
-  auto compile = [&](std::string code) {
+  // variable-length serving buckets (cli/export_speaker_embedding.py
+  // --aot_buckets): "buckets": [{"seconds":..,"samples":N,"frames":F},..]
+  std::vector<int> bucket_frames;
+  {
+    auto bpos = meta.find("\"buckets\"");
+    if (bpos != std::string::npos) {
+      auto open = meta.find('[', bpos);
+      auto close = meta.find(']', bpos);
+      if (open != std::string::npos && close != std::string::npos) {
+        std::string arr = meta.substr(open, close - open);
+        for (size_t p = arr.find("\"samples\""); p != std::string::npos;
+             p = arr.find("\"samples\"", p + 1)) {
+          bucket_samples_.push_back(
+              std::stoll(JsonValue(arr.substr(p), "samples")));
+          bucket_frames.push_back(
+              std::stoi(JsonValue(arr.substr(p), "frames")));
+        }
+      }
+      const std::string ms = JsonValue(meta, "max_seconds");
+      const std::string sr = JsonValue(meta, "sample_rate");
+      if (!ms.empty() && !sr.empty())
+        max_samples_ = static_cast<int64_t>(std::stod(ms) * std::stod(sr));
+    }
+  }
+
+  auto compile = [&](std::string code) -> PJRT_LoadedExecutable* {
     PJRT_Program program;
     std::memset(&program, 0, sizeof(program));
     program.struct_size = PJRT_Program_STRUCT_SIZE;
@@ -234,26 +261,35 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
       std::fprintf(stderr, "[pjrt_engine] Client_Compile (%zu bytes)\n",
                    code.size());
     impl_->Check(api->PJRT_Client_Compile(&a), "PJRT_Client_Compile");
-    impl_->executable = a.executable;
+    return a.executable;
   };
-  try {
-    compile(ReadFile(model_dir + "/model.mlir.bc"));
-  } catch (const std::exception& e) {
-    // portable bytecode rejected by this plugin -> textual StableHLO
-    std::fprintf(stderr, "[pjrt_engine] bytecode compile failed (%s); "
-                 "retrying textual model.mlir\n", e.what());
-    compile(ReadFile(model_dir + "/model.mlir"));
+  auto compile_stem = [&](const std::string& stem) {
+    try {
+      return compile(ReadFile(model_dir + "/" + stem + ".mlir.bc"));
+    } catch (const std::exception& e) {
+      // portable bytecode rejected by this plugin -> textual StableHLO
+      std::fprintf(stderr, "[pjrt_engine] bytecode compile failed (%s); "
+                   "retrying textual %s.mlir\n", e.what(), stem.c_str());
+      return compile(ReadFile(model_dir + "/" + stem + ".mlir"));
+    }
+  };
+  if (bucket_frames.empty()) {
+    impl_->execs.emplace_back(frames_, compile_stem("model"));
+  } else {
+    for (int f : bucket_frames)
+      impl_->execs.emplace_back(f, compile_stem("model_f" + std::to_string(f)));
   }
 }
 
 PjrtEngine::~PjrtEngine() {
   const PJRT_Api* api = impl_->api;
   if (api) {
-    if (impl_->executable) {
+    for (auto& fe : impl_->execs) {
+      if (!fe.second) continue;
       PJRT_LoadedExecutable_Destroy_Args a;
       std::memset(&a, 0, sizeof(a));
       a.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
-      a.executable = impl_->executable;
+      a.executable = fe.second;
       api->PJRT_LoadedExecutable_Destroy(&a);
     }
     if (impl_->client) {
@@ -271,9 +307,21 @@ PjrtEngine::~PjrtEngine() {
 std::vector<float> PjrtEngine::Embed(
     const std::vector<std::vector<float>>& feats) {
   const PJRT_Api* api = impl_->api;
+  // bucket select: smallest compiled frame count that holds the input
+  // (the CLI's circle-padded chunks match a bucket exactly); fall back to
+  // the largest (trim) when none fits
+  int frames = impl_->execs.back().first;
+  PJRT_LoadedExecutable* exec = impl_->execs.back().second;
+  for (const auto& fe : impl_->execs) {
+    if (fe.first >= static_cast<int>(feats.size())) {
+      frames = fe.first;
+      exec = fe.second;
+      break;
+    }
+  }
   // pad (repeat last frame) / trim to the compiled frame count
-  std::vector<float> host(static_cast<size_t>(frames_) * feat_dim_, 0.0f);
-  for (int t = 0; t < frames_; ++t) {
+  std::vector<float> host(static_cast<size_t>(frames) * feat_dim_, 0.0f);
+  for (int t = 0; t < frames; ++t) {
     const size_t src = t < static_cast<int>(feats.size())
                            ? t
                            : (feats.empty() ? 0 : feats.size() - 1);
@@ -282,7 +330,7 @@ std::vector<float> PjrtEngine::Embed(
                 sizeof(float) * feat_dim_);
   }
 
-  const int64_t dims[3] = {1, frames_, feat_dim_};
+  const int64_t dims[3] = {1, frames, feat_dim_};
   PJRT_Buffer* in_buf = nullptr;
   {
     PJRT_Client_BufferFromHostBuffer_Args a;
@@ -317,7 +365,7 @@ std::vector<float> PjrtEngine::Embed(
     PJRT_LoadedExecutable_Execute_Args a;
     std::memset(&a, 0, sizeof(a));
     a.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
-    a.executable = impl_->executable;
+    a.executable = exec;
     a.options = &opts;
     a.argument_lists = arg_lists;
     a.num_devices = 1;

@@ -62,13 +62,26 @@ def load_exported(path):
     return exp.call
 
 
+def frames_for_samples(samples: int, *, frame_length=400, frame_shift=160):
+    """Kaldi snip_edges frame count for a waveform length."""
+    return max(1 + (samples - frame_length) // frame_shift, 1)
+
+
 def export_aot_artifact(model, variables, out_dir, *, feat_dim=80,
-                        frames=300, batch=1, precision="high"):
+                        frames=300, batch=1, precision="high",
+                        bucket_seconds=None, sample_rate=16000):
     """Write the RAW StableHLO bytecode + meta for the standalone native
     runtime (runtime/src/pjrt_engine.cpp): a PJRT plugin compiles
     <out_dir>/model.mlir.bc directly (PJRT_Program format "mlir"), no
     Python involved. Static shapes — PJRT compiles a concrete program.
-    Returns the meta dict."""
+
+    ``bucket_seconds``: variable-length serving (the analogue of the
+    reference's dynamic ONNX axes, bin/export_speaker_embedding_onnx.py:
+    188-191, discretized for an AOT compiler): export one executable per
+    duration bucket as model_f<frames>.mlir.bc; the native CLI picks the
+    smallest bucket >= each chunk and circle-pads, with the 10 s-chunk /
+    90 s-cap / chunk-mean semantics of infer_sv_batch. The LAST bucket is
+    the chunk size. Returns the meta dict."""
     import json
     import os
 
@@ -80,21 +93,42 @@ def export_aot_artifact(model, variables, out_dir, *, feat_dim=80,
         with jax.default_matmul_precision(precision):
             return model.apply(variables, feature)
 
-    exp = jexport.export(jax.jit(fn))(
-        jax.ShapeDtypeStruct((batch, frames, feat_dim), jnp.float32))
-    (emb_shape,) = [o.shape for o in exp.out_avals]
-    meta = {"frames": frames, "feat_dim": feat_dim, "batch": batch,
-            "embedding_dim": int(emb_shape[-1]),
+    os.makedirs(out_dir, exist_ok=True)
+
+    def export_one(n_frames, stem):
+        exp = jexport.export(jax.jit(fn))(
+            jax.ShapeDtypeStruct((batch, n_frames, feat_dim), jnp.float32))
+        with open(os.path.join(out_dir, stem + ".mlir.bc"), "wb") as f:
+            f.write(exp.mlir_module_serialized)
+        # textual form as well: some PJRT plugins reject versioned portable
+        # bytecode but take textual StableHLO (the C++ engine tries .bc
+        # first)
+        with open(os.path.join(out_dir, stem + ".mlir"), "w") as f:
+            f.write(exp.mlir_module())
+        (emb_shape,) = [o.shape for o in exp.out_avals]
+        return int(emb_shape[-1])
+
+    meta = {"feat_dim": feat_dim, "batch": batch,
             "input": "feature [B, T, 80] float32",
             "output": "embedding [B, D] float32",
             "format": "stablehlo mlir bytecode (PJRT_Program 'mlir')"}
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "model.mlir.bc"), "wb") as f:
-        f.write(exp.mlir_module_serialized)
-    # textual form as well: some PJRT plugins reject versioned portable
-    # bytecode but take textual StableHLO (the C++ engine tries .bc first)
-    with open(os.path.join(out_dir, "model.mlir"), "w") as f:
-        f.write(exp.mlir_module())
+    if bucket_seconds:
+        buckets = []
+        for sec in sorted(float(s) for s in bucket_seconds):
+            samples = int(sec * sample_rate)
+            n_frames = frames_for_samples(samples)
+            emb_dim = export_one(n_frames, f"model_f{n_frames}")
+            buckets.append({"seconds": sec, "samples": samples,
+                            "frames": n_frames})
+        meta.update(embedding_dim=emb_dim, buckets=buckets,
+                    sample_rate=sample_rate,
+                    chunk_seconds=buckets[-1]["seconds"],
+                    max_seconds=90.0,
+                    # legacy single-shape keys = largest bucket
+                    frames=buckets[-1]["frames"])
+    else:
+        emb_dim = export_one(frames, "model")
+        meta.update(embedding_dim=emb_dim, frames=frames)
     with open(os.path.join(out_dir, "aot.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return meta
@@ -112,6 +146,13 @@ def get_args(argv=None):
                         "(extract_speaker_embedding --engine aot)")
     p.add_argument("--frames", type=int, default=300)
     p.add_argument("--feat_dim", type=int, default=80)
+    p.add_argument("--aot_buckets", default=None,
+                   help="comma-separated durations in seconds (e.g. "
+                        "'1.5,3,6,10') for variable-length AOT serving: "
+                        "one executable per bucket; the native CLI picks "
+                        "the smallest bucket per chunk and circle-pads "
+                        "(infer_sv_batch chunk/mean semantics). The last "
+                        "bucket is the chunk size.")
     return p.parse_args(argv)
 
 
@@ -157,10 +198,13 @@ def main(argv=None):
     print(f"exported {len(blob)} bytes -> {args.out} (meta: {meta})")
 
     if args.aot_dir:
+        buckets = ([float(s) for s in args.aot_buckets.split(",")]
+                   if args.aot_buckets else None)
         aot_meta = export_aot_artifact(model, variables,
                                        args.aot_dir,
                                        feat_dim=args.feat_dim,
-                                       frames=args.frames)
+                                       frames=args.frames,
+                                       bucket_seconds=buckets)
         print(f"AOT artifact -> {args.aot_dir} (meta: {aot_meta})")
 
 

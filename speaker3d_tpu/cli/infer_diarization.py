@@ -56,6 +56,10 @@ def get_args(argv=None):
                         "segmentation model (reference uses pyannote "
                         "segmentation-3.0; here a native FSMN segmenter "
                         "trained with cli/train_segmentation.py)")
+    p.add_argument("--segmentation_threshold", type=float, default=0.5,
+                   help="binarization threshold for the overlap segmenter's "
+                        "per-speaker activations (reference hardcodes "
+                        "pyannote's 0.5; raise to cut count false alarms)")
     p.add_argument("--segmentation_exp_dir", default=None,
                    help="cli/train_segmentation.py experiment dir "
                         "(required with --include_overlap)")
@@ -65,16 +69,18 @@ def get_args(argv=None):
                         "matches the recipe path conf/diar.yaml; "
                         "'umap_hdbscan' uses the in-repo native UMAP+HDBSCAN "
                         "when the external libs are absent)")
-    p.add_argument("--cluster_backend", default="numpy",
-                   choices=["numpy", "jax"],
-                   help="clustering numerics backend: 'jax' runs the "
-                        "O(N^2) stages on the accelerator. Big win for "
-                        "spectral (affinity/p-prune/Laplacian/eigenpairs "
-                        "stay on device; LOBPCG past 2048 chunks, 93x "
-                        "host at 8k chunks). For AHC only the affinity "
-                        "moves on-device and the full matrix comes back "
-                        "for host linkage — worthwhile only when "
-                        "device->host bandwidth is high. docs/BENCH.md.")
+    p.add_argument("--cluster_backend", default="auto",
+                   choices=["auto", "numpy", "jax", "nnchain",
+                            "nnchain_device"],
+                   help="clustering numerics backend. spectral: 'jax' runs "
+                        "the O(N^2) stages on the accelerator (LOBPCG past "
+                        "2048 chunks, 93x host at 8k; 'auto' = numpy). "
+                        "AHC: 'auto' (default) = exact scipy to 4096 "
+                        "chunks, then the O(Nd)-memory NN-chain linkage — "
+                        "on-device (whole dendrogram in one dispatch) when "
+                        "an accelerator is present; 'nnchain'/"
+                        "'nnchain_device' force it; 'jax' moves only the "
+                        "affinity on-device (download-bound). docs/BENCH.md.")
     p.add_argument("--cluster_mer_cos", type=float, default=0.3)
     p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
     p.add_argument("--cluster_min_cluster_size", type=int, default=0)
@@ -159,14 +165,17 @@ def main(argv=None):
 
         segmentation = load_segmentation_exp(args.segmentation_exp_dir)
     cluster = None
-    if args.cluster_type != "AHC" or args.cluster_backend == "jax":
+    if args.cluster_type != "AHC" or args.cluster_backend != "auto":
         from speaker3d_tpu.diar.cluster import CommonClustering
 
         kw = {}
         if args.cluster_type == "spectral":
+            # SpectralCluster has numpy/jax paths only; auto = numpy
             kw = dict(pval=args.cluster_pval, max_num_spks=15,
                       oracle_num=args.speaker_num,
-                      backend=args.cluster_backend)
+                      backend=("numpy" if args.cluster_backend
+                               in ("auto", "nnchain", "nnchain_device")
+                               else args.cluster_backend))
         elif args.cluster_type == "AHC":
             kw = dict(fix_cos_thr=args.cluster_fix_cos_thr,
                       backend=args.cluster_backend)
@@ -191,6 +200,7 @@ def main(argv=None):
         vad_boundary_expansion_ms=args.vad_boundary_expansion_ms,
         vad_boundary_energy_percentile=args.vad_boundary_energy_percentile,
         segmentation_model=segmentation,
+        segmentation_threshold=args.segmentation_threshold,
         cluster_mer_cos=args.cluster_mer_cos,
         cluster_fix_cos_thr=args.cluster_fix_cos_thr,
         cluster_min_cluster_size=args.cluster_min_cluster_size,

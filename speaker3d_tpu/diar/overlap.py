@@ -97,19 +97,25 @@ def get_valid_field(count: FrameCount) -> List[List[float]]:
 
 
 def run_segmentation(segmentation_model: Callable, wav: np.ndarray,
-                     sample_rate: int) -> tuple:
-    """Run a pluggable segmentation model -> (SlidingSegmentation, FrameCount)."""
+                     sample_rate: int, threshold: float = 0.5) -> tuple:
+    """Run a pluggable segmentation model -> (SlidingSegmentation, FrameCount).
+
+    ``threshold`` binarizes per-speaker activations before the speaker
+    count is aggregated (the reference hardcodes pyannote's 0.5; an
+    in-repo segmenter's operating point is tunable — raising it trades
+    overlap recall for count false alarms)."""
     seg: SlidingSegmentation = segmentation_model(wav, sample_rate)
     duration = len(wav) / sample_rate
     num_frames = int(np.ceil(duration / seg.frame_step))
-    return seg, aggregate_count(seg, num_frames)
+    return seg, aggregate_count(seg, num_frames, threshold=threshold)
 
 
 def post_process(output_field_labels: Sequence[Sequence],
                  speaker_num: int, seg: SlidingSegmentation,
-                 count: FrameCount):
+                 count: FrameCount, threshold: float = 0.5):
     """Refine cluster segments with overlap-aware activations.
-    (reference: bin/infer_diarization.py:651-702)"""
+    (reference: bin/infer_diarization.py:651-702; ``threshold`` binarizes
+    the segmenter activations, same knob as run_segmentation)"""
     from scipy.optimize import linear_sum_assignment
 
     num_frames = len(count)
@@ -122,7 +128,7 @@ def post_process(output_field_labels: Sequence[Sequence],
 
     activations = np.zeros((num_frames, speaker_num))
     num_chunks, fpc, num_classes = seg.data.shape
-    binary_seg = (seg.data > 0.5).astype(np.float64)
+    binary_seg = (seg.data > threshold).astype(np.float64)
     for c in range(num_chunks):
         start_frame = max(count.closest_frame(seg.chunk_starts[c] + half), 0)
         end_frame = min(start_frame + fpc, num_frames)

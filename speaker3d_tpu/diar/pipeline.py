@@ -105,7 +105,8 @@ class DiarizationPipeline:
                  chunk_dur: float = 1.5,
                  chunk_step: float = 0.75,
                  batch_size: int = 64,
-                 segmentation_model=None):
+                 segmentation_model=None,
+                 segmentation_threshold: float = 0.5):
         self.embed_fn = embed_fn
         self.fs = sample_rate
         self.vad_model = vad or vad_mod.try_ten_vad(
@@ -121,6 +122,7 @@ class DiarizationPipeline:
         self.chunk_step = chunk_step
         self.batch_size = batch_size
         self.segmentation_model = segmentation_model
+        self.segmentation_threshold = segmentation_threshold
 
         # TenVad/EnergyVAD emit 16 ms-hop flags; a DnnVAD advertises its
         # native fbank hop via `.frame_ms` (diar/dnn_vad.py)
@@ -229,7 +231,8 @@ class DiarizationPipeline:
             from speaker3d_tpu.diar.overlap import (
                 get_valid_field, run_segmentation)
             segmentations, count = run_segmentation(
-                self.segmentation_model, wav_1d, self.fs)
+                self.segmentation_model, wav_1d, self.fs,
+                threshold=self.segmentation_threshold)
             vad_time = vad_mod.merge_vad(vad_time, get_valid_field(count))
 
         if self.no_chunk_after_vad:
@@ -255,8 +258,9 @@ class DiarizationPipeline:
 
         if self.segmentation_model is not None:
             from speaker3d_tpu.diar.overlap import binary_to_segs, post_process
-            binary, timestamps = post_process(fields, spk_num, segmentations,
-                                              count)
+            binary, timestamps = post_process(
+                fields, spk_num, segmentations, count,
+                threshold=self.segmentation_threshold)
             fields = binary_to_segs(binary, timestamps)
 
         self.output_field_labels = fields

