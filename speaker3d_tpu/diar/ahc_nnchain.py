@@ -143,23 +143,28 @@ def linkage_labels(X, fix_cos_thr, dtype=np.float64):
 
 
 @functools.lru_cache(maxsize=8)
-def _device_kernel(n: int, d: int):
+def _device_kernel(n_max: int, d: int):
+    """Compiled for a BUCKETED maximum row count with the true n passed at
+    runtime (padding rows masked inactive) — per-file chunk counts vary, and
+    a per-N executable would recompile on every diarized file."""
     import jax
     import jax.numpy as jnp
 
-    m = 2 * n - 1
+    m = 2 * n_max - 1
     NEG = jnp.float32(np.inf)
 
     @jax.jit
-    def run(z):
+    def run(z, n):
         # state: S [m,d], size [m], active [m], chain [m], chain_len,
-        # merge outputs a/b/h [n-1], n_merged
-        S0 = jnp.zeros((m, d), jnp.float32).at[:n].set(z)
-        size0 = jnp.zeros(m, jnp.float32).at[:n].set(1.0)
-        active0 = jnp.zeros(m, bool).at[:n].set(True)
+        # merge outputs a/b/h [n_max-1], n_merged
+        S0 = jnp.zeros((m, d), jnp.float32).at[:n_max].set(z)
+        idx = jnp.arange(m, dtype=jnp.int32)
+        size0 = jnp.where(idx < n, 1.0, 0.0).astype(jnp.float32)
+        active0 = idx < n
         chain0 = jnp.zeros(m, jnp.int32)
-        out0 = (jnp.zeros(n - 1, jnp.int32), jnp.zeros(n - 1, jnp.int32),
-                jnp.zeros(n - 1, jnp.float32))
+        out0 = (jnp.zeros(n_max - 1, jnp.int32),
+                jnp.zeros(n_max - 1, jnp.int32),
+                jnp.zeros(n_max - 1, jnp.float32))
 
         def cond(st):
             return st[6] < n - 1
@@ -192,7 +197,7 @@ def _device_kernel(n: int, d: int):
                 h = dists[best]
                 a = jnp.minimum(x, best)
                 b = jnp.maximum(x, best)
-                nid = n + n_merged
+                nid = n + n_merged  # merged ids start at the TRUE n
                 S = S.at[nid].set(S[a] + S[b])
                 size = size.at[nid].set(size[a] + size[b])
                 active = active.at[a].set(False).at[b].set(False)
@@ -221,9 +226,17 @@ def _device_kernel(n: int, d: int):
     return run
 
 
+def _bucket(n: int, floor: int = 2048) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
 def device_linkage_labels(X, fix_cos_thr):
     """TPU-native NN-chain AHC: dendrogram built in ONE device dispatch
-    (float32; heights come back as [3 x (N-1)] — O(N), never O(N^2))."""
+    (float32; heights come back as [3 x (N_max-1)] — O(N), never O(N^2)).
+    The executable is compiled per power-of-2 size bucket and cached."""
     import jax.numpy as jnp
 
     X = np.asarray(X)
@@ -231,7 +244,12 @@ def device_linkage_labels(X, fix_cos_thr):
     if n < 2:
         return np.zeros(n, np.int64)
     z = _normalize(X, np.float32)
-    a, b, h = _device_kernel(n, z.shape[1])(jnp.asarray(z))
-    return labels_from_merges(n, np.asarray(a).astype(np.int64),
-                              np.asarray(b).astype(np.int64),
-                              np.asarray(h), -float(fix_cos_thr))
+    n_max = _bucket(n)
+    zp = np.zeros((n_max, z.shape[1]), np.float32)
+    zp[:n] = z
+    a, b, h = _device_kernel(n_max, z.shape[1])(jnp.asarray(zp),
+                                                jnp.int32(n))
+    k = n - 1
+    return labels_from_merges(n, np.asarray(a[:k]).astype(np.int64),
+                              np.asarray(b[:k]).astype(np.int64),
+                              np.asarray(h[:k]), -float(fix_cos_thr))

@@ -214,15 +214,21 @@ class AHCluster:
         lax.while_loop on the accelerator (float32), labels-only
         download. Hour-scale N in seconds.
       - 'auto' (default): exact scipy up to ``auto_nnchain_n`` rows (all
-        small-N behavior and parity pins unchanged), NN-chain above it —
-        on device when an accelerator is present, host otherwise.
+        small-N behavior and parity pins unchanged). Above it: the device
+        NN-chain when an accelerator is present (0.5-3.4 s at 4k-16k,
+        docs/BENCH.md). On CPU-only hosts scipy stays preferred on TIME
+        (its C merge loops beat the python NN-chain's per-query matvecs:
+        12.7 s vs 118 s at 8k) until its O(N^2) float64 memory becomes
+        the cliff (~4.3 GB condensed + 8.6 GB dense affinity at 32k), so
+        the host NN-chain only takes over past ``cpu_scipy_max_n``.
     """
 
     def __init__(self, fix_cos_thr=0.4, backend: str = "auto",
-                 auto_nnchain_n: int = 4096):
+                 auto_nnchain_n: int = 4096, cpu_scipy_max_n: int = 24576):
         self.fix_cos_thr = fix_cos_thr
         self.backend = backend
         self.auto_nnchain_n = auto_nnchain_n
+        self.cpu_scipy_max_n = cpu_scipy_max_n
 
     def _resolve_backend(self, n):
         if self.backend != "auto":
@@ -231,8 +237,9 @@ class AHCluster:
             return "numpy"
         import jax
 
-        on_accel = jax.devices()[0].platform != "cpu"
-        return "nnchain_device" if on_accel else "nnchain"
+        if jax.devices()[0].platform != "cpu":
+            return "nnchain_device"
+        return "numpy" if n <= self.cpu_scipy_max_n else "nnchain"
 
     def __call__(self, X, **kwargs):
         from scipy.cluster.hierarchy import fcluster, linkage

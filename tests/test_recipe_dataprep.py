@@ -191,3 +191,32 @@ def test_voxceleb_recipe_stages_1_2(tmp_path):
     assert (data / "train.csv").is_file()
     assert (data / "eval_wav.scp").is_file()
     assert len(_scp(str(data / "eval_wav.scp"))) == 1
+
+
+def test_m4a2wav_script_generation(tmp_path):
+    """egs/local/m4a2wav.py mirrors the reference m4a2wav.pl: walks the
+    aac/<spkr>/<rec>/*.m4a layout and emits one pcm_s16le ffmpeg command
+    per file into m4a2wav_<dataset>.sh (reference:
+    egs/3dspeaker/sv-eres2netv2/utils/m4a2wav.pl)."""
+    import runpy
+    import sys
+
+    src = tmp_path / "m4a" / "dev" / "aac" / "id00001" / "recA"
+    src.mkdir(parents=True)
+    (src / "00001.m4a").write_bytes(b"")
+    (src / "00002.m4a").write_bytes(b"")
+    (src / "notme.txt").write_bytes(b"")
+    out = tmp_path / "wav"
+
+    sys_argv = [str(tmp_path / "m4a"), "dev", str(out)]
+    mod = runpy.run_path(os.path.join(REPO, "egs", "local", "m4a2wav.py"),
+                         run_name="m4a2wav")
+    assert mod["main"](sys_argv) == 0
+    script = out / "dev" / "m4a2wav_dev.sh"
+    lines = script.read_text().splitlines()
+    assert len(lines) == 2
+    assert lines[0] == (
+        f"ffmpeg -v 8 -i {src}/00001.m4a -f wav -acodec pcm_s16le "
+        f"{out}/dev/aac/id00001/recA/00001.wav")
+    # target dirs pre-created like the reference's mkdir -p
+    assert (out / "dev" / "aac" / "id00001" / "recA").is_dir()

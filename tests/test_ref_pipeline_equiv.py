@@ -50,6 +50,12 @@ def _stub_module(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
     mod = types.ModuleType(name)
+    # a real ModuleSpec: other libraries probe importlib.util.find_spec
+    # ("torchaudio") and a None __spec__ raises ValueError (transformers'
+    # availability check)
+    import importlib.machinery
+
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -70,11 +76,18 @@ def _import_ref_mod():
     _stub_module("hdbscan")
     from scipy.cluster.hierarchy import linkage as _scipy_linkage
 
-    _stub_module(
-        "fastcluster",
-        linkage=lambda X, method="average", preserve_input=True:
-            _scipy_linkage(X, method=method))
-    return importlib.import_module("speakerlab.bin.infer_diarization")
+    def _linkage(X, method="average", preserve_input=True):
+        return _scipy_linkage(X, method=method)
+
+    _stub_module("fastcluster", linkage=_linkage)
+    mod = importlib.import_module("speakerlab.bin.infer_diarization")
+    # tests/test_cluster.py may have imported speakerlab.process.cluster
+    # earlier with a TEMPORARY bare fastcluster stub (popped afterwards);
+    # that module's global still points at the bare stub — give it linkage
+    ref_cluster = importlib.import_module("speakerlab.process.cluster")
+    if not hasattr(ref_cluster.fastcluster, "linkage"):
+        ref_cluster.fastcluster.linkage = _linkage
+    return mod
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ import time
 import numpy as np
 
 SCIPY_MAX = int(os.environ.get("AHC_SCIPY_MAX", 8192))
+HOST_MAX = int(os.environ.get("AHC_HOST_MAX", 16384))
 THR = 0.3  # fork default fix_cos_thr (reference: bin/infer_diarization.py)
 
 
@@ -61,10 +62,11 @@ def main():
         row["device_s"] = round(time.perf_counter() - t0, 3)
         parts["device"] = _partition_sizes(labels)
 
-        t0 = time.perf_counter()
-        labels = linkage_labels(x, THR)
-        row["host_nnchain_s"] = round(time.perf_counter() - t0, 3)
-        parts["host"] = _partition_sizes(labels)
+        if n <= HOST_MAX:
+            t0 = time.perf_counter()
+            labels = linkage_labels(x, THR)
+            row["host_nnchain_s"] = round(time.perf_counter() - t0, 3)
+            parts["host"] = _partition_sizes(labels)
 
         if n <= SCIPY_MAX:
             ahc = AHCluster(fix_cos_thr=THR, backend="numpy")

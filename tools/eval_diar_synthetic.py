@@ -143,18 +143,19 @@ def train_models(root, csv, lst):
     vad_main(["--config", p])
 
     seg_exp = os.path.join(root, "seg_exp")
-    # 30 epochs / 256 mixtures: the 12-epoch segmenter's activations were
-    # too flat — in-overlap scores did not clear any threshold that also
-    # suppressed its false second-speaker claims (r2 table: +overlap WORSE,
-    # 11.67 vs 5.12). The longer schedule separates the operating points;
-    # with --segmentation_threshold 0.7-0.75 overlap strictly improves DER
-    # (measured sweep, r3; docs/PARITY.md table).
+    # r3 retuning (measured sweeps; docs/PARITY.md table): the r2 12-epoch
+    # hidden-32 segmenter over-triggered (+overlap DER 11.67 vs 5.12
+    # VAD-only). This 40-epoch hidden-64 schedule with denser overlap
+    # events + --segmentation_threshold 0.7 reaches zero FA and recovers
+    # part of the overlapped speech; results are flat across thr 0.5-0.8
+    # and window steps 0.25-0.5 (activations saturate), bounded by a ~0.5 s
+    # overlap-onset localization bias of the toy FSMN.
     cfg = {"exp_dir": seg_exp, "speech": csv, "window_dur": 2.0,
-           "max_speakers": 2, "events_per_speaker": 1, "dataset_size": 256,
-           "batch_size": 16, "num_workers": 2, "num_epoch": 30,
-           "max_lr": 0.005, "warmup_epoch": 1, "snr_range": [10.0, 25.0],
-           "model": {"args": {"feat_dim": 80, "hidden_dim": 32,
-                              "proj_dim": 16, "num_layers": 2,
+           "max_speakers": 2, "events_per_speaker": 2, "dataset_size": 384,
+           "batch_size": 16, "num_workers": 2, "num_epoch": 40,
+           "max_lr": 0.005, "warmup_epoch": 2, "snr_range": [10.0, 25.0],
+           "model": {"args": {"feat_dim": 80, "hidden_dim": 64,
+                              "proj_dim": 32, "num_layers": 2,
                               "lorder": 10, "rorder": 10}}}
     p = os.path.join(root, "seg.yaml")
     yaml.safe_dump(cfg, open(p, "w"))
@@ -210,7 +211,7 @@ def main():
         ("trained_vad_overlap", ["--vad_exp_dir", vad_exp,
                                  "--include_overlap",
                                  "--segmentation_exp_dir", seg_exp,
-                                 "--segmentation_threshold", "0.75"]),
+                                 "--segmentation_threshold", "0.7"]),
     ]
     rows = []
     for name, extra in configs:
