@@ -27,7 +27,7 @@ import numpy as np
 SEG_SECONDS = 3.0
 SAMPLE_RATE = 16000
 NUM_CLASSES = 8000
-STEPS = 10
+STEPS = 30
 
 
 def bench_train(batch=128, dtype="bfloat16", remat=False,
@@ -66,7 +66,13 @@ def bench_train(batch=128, dtype="bfloat16", remat=False,
     host_state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
     step = make_sv_train_step(model, cfg, mesh, host_state, feature_fn=fbank)
 
-    batch_d = {"wavs": wavs, "labels": labels}
+    # pre-upload the batch ONCE: per-dispatch numpy inputs re-upload 49 MB
+    # of wavs through this harness's tunnel every step (~1 s each, the
+    # thing data/prefetch.py hides in the real trainers) and would measure
+    # the link, not the device (578 vs ~1.3k audio-s/s at B=128).
+    import jax as _jax
+
+    batch_d = _jax.device_put({"wavs": wavs, "labels": labels})
     state, metrics = step(state, batch_d)           # compile
     _ = float(metrics["loss"])                      # force
     t0 = time.perf_counter()
