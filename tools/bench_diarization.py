@@ -73,15 +73,19 @@ def main():
     # warm the compiled batch executable
     pipe(wav[: 16000 * 30])
 
-    t0 = time.perf_counter()
-    fields = pipe(wav)
-    elapsed = time.perf_counter() - t0
     audio_s = len(wav) / 16000
-    spk = len({f[2] for f in fields})
-    print(f"diarized {audio_s:.0f}s audio in {elapsed:.2f}s -> "
-          f"{audio_s/elapsed:.1f} audio-s/s (RTF {elapsed/audio_s:.5f}), "
-          f"{len(fields)} segments, {spk} speakers, "
-          f"{len(pipe.last_chunks)} chunks")
+    for label in ("cold", "warm"):
+        # cold includes one-time compiles at this chunk count (e.g. the
+        # device AHC bucket executable); warm is the production steady state
+        t0 = time.perf_counter()
+        fields = pipe(wav)
+        elapsed = time.perf_counter() - t0
+        spk = len({f[2] for f in fields})
+        print(f"[{label}] diarized {audio_s:.0f}s audio in {elapsed:.2f}s "
+              f"-> {audio_s/elapsed:.1f} audio-s/s "
+              f"(RTF {elapsed/audio_s:.5f}), "
+              f"{len(fields)} segments, {spk} speakers, "
+              f"{len(pipe.last_chunks)} chunks", flush=True)
 
 
 if __name__ == "__main__":
