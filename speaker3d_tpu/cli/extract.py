@@ -45,6 +45,14 @@ def get_args(argv=None):
                         "reference's kaldiio WriteHelper (reference: "
                         "bin/extract.py:79); native writer, no kaldiio")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--buckets", default=None,
+                   help="chunked mode: comma-separated duration buckets in "
+                        "seconds (e.g. '1.5,3,6,10'; last = chunk size). "
+                        "The final partial chunk circle-pads to its "
+                        "smallest holding bucket instead of the full "
+                        "chunk — faster on short-utterance corpora; "
+                        "default keeps the reference's pad-to-chunk "
+                        "semantics")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--nprocs", type=int, default=1,
                    help="local subprocess fan-out (utils/fanout.py); files\n"
@@ -74,13 +82,23 @@ def build_model_from_exp(exp_dir: str):
 
 def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
                        sample_rate=16000, feature_fn=None, model=None,
-                       variables=None):
-    """Return {utt: emb}. ``embed_fn``: [B, L] -> [B, D] (chunked mode)."""
+                       variables=None, bucket_seconds=None):
+    """Return {utt: emb}. ``embed_fn``: [B, L] -> [B, D] (chunked mode).
+
+    ``bucket_seconds`` (chunked mode): duration buckets, ascending; the
+    last is the chunk size. The final partial chunk circle-pads to the
+    SMALLEST bucket that holds it instead of the full chunk — K compiled
+    shapes instead of one, big wins on short-utterance corpora (a 4 s wav
+    embeds 4.8 s of samples instead of 10 s). Same plan as the native AOT
+    engine (eval/chunking.py / runtime chunk_plan.h)."""
     out = {}
     if mode == "chunked":
-        chunk = int(CHUNK_SECONDS * sample_rate)
+        from speaker3d_tpu.eval.chunking import plan_chunks
+
         max_len = int(MAX_SECONDS * sample_rate)
-        buf = []
+        buckets = sorted(int(b * sample_rate)
+                         for b in (bucket_seconds or [CHUNK_SECONDS]))
+        bufs = {b: [] for b in buckets}  # per compiled length
         # Double-buffered dispatch: the device result of batch k is fetched
         # only AFTER batch k+1 is dispatched, so host decode/pack and the
         # O(100 ms) tunnel dispatch latency overlap device compute (jax
@@ -94,30 +112,33 @@ def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
                 for (utt, _), e in zip(entries, embs):
                     out.setdefault(utt, []).append(e)
 
-        def flush():
+        def flush(blen):
+            buf = bufs[blen]
             if not buf:
                 return
             wavs = np.stack([b[1] for b in buf])
             n = wavs.shape[0]
             if n < batch_size:
                 wavs = np.concatenate(
-                    [wavs, np.zeros((batch_size - n, chunk), np.float32)])
+                    [wavs, np.zeros((batch_size - n, blen), np.float32)])
             in_flight.append((list(buf), embed_fn(wavs)))
             buf.clear()
             drain(limit=1)
 
         for utt, path in wav_scp.items():
-            wav = load_audio(path, obj_fs=sample_rate)[0][:max_len]
+            wav = load_audio(path, obj_fs=sample_rate)[0]
             if wav.shape[0] == 0:
                 continue
-            # 10s chunks; final partial chunk circle-padded
-            # (reference: bin/infer_sv_batch.py:402-411)
-            for s in range(0, wav.shape[0], chunk):
-                piece = wav[s:s + chunk]
-                buf.append((utt, circle_pad(piece, chunk)))
-                if len(buf) == batch_size:
-                    flush()
-        flush()
+            # 10s chunks / 90s cap; final partial chunk circle-padded
+            # (reference: bin/infer_sv_batch.py:402-411; with buckets, to
+            # its smallest holding bucket)
+            for c in plan_chunks(wav.shape[0], buckets, max_len):
+                piece = wav[c.start:c.start + c.length]
+                bufs[c.padded].append((utt, circle_pad(piece, c.padded)))
+                if len(bufs[c.padded]) == batch_size:
+                    flush(c.padded)
+        for blen in buckets:
+            flush(blen)
         drain(limit=0)
         return {utt: np.mean(np.stack(es), axis=0) for utt, es in out.items()}
 
@@ -169,10 +190,13 @@ def main(argv=None):
 
     embed_fn = build_embedding_fn(model, variables, precision="highest",
                                   sample_rate=args.sample_rate)
+    buckets = ([float(s) for s in args.buckets.split(",")]
+               if args.buckets else None)
     embs = extract_embeddings(embed_fn, shard_scp, mode=args.mode,
                               batch_size=args.batch_size,
                               sample_rate=args.sample_rate,
-                              model=model, variables=variables)
+                              model=model, variables=variables,
+                              bucket_seconds=buckets)
     os.makedirs(args.out_dir, exist_ok=True)
     if args.out_type == "ark":
         from speaker3d_tpu.utils.kaldi_ark import write_ark_scp
