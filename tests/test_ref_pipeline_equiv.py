@@ -503,3 +503,51 @@ def test_torch_fbank_matches_golden():
     ref = golden_fbank(wav, mean_norm=True)
     got = TorchKaldiFbank(mean_nor=True)(torch.from_numpy(wav)).numpy()
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_vad_postprocessing_matches_reference_methods():
+    """Pin our VAD post-processing chain against the reference's own
+    _post_process_speech_flags / _refine_vad_boundaries_with_energy /
+    _mask_to_intervals methods run directly (reference:
+    bin/infer_diarization.py:330-483) on randomized flags + audio —
+    stronger than the in-repo sequential oracle used by tests/test_vad.py."""
+    from speaker3d_tpu.diar import vad as vad_mod
+
+    ref_mod = _import_ref_mod()
+    D = ref_mod.Diarization3Dspeaker.__new__(ref_mod.Diarization3Dspeaker)
+    D.fs = FS
+    D.vad_frame_size_ms = 16.0
+    D.vad_min_speech_ms = 200.0
+    D.vad_max_silence_ms = 300.0
+    D.vad_energy_threshold = 0.05
+    D.vad_boundary_expansion_ms = 10.0
+    D.vad_boundary_energy_percentile = 10.0
+
+    rng = np.random.default_rng(21)
+    hop = int(16.0 * FS / 1000)
+    for trial in range(5):
+        n = int(rng.uniform(3.0, 8.0) * FS)
+        wav = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        # speech-shaped bursts so energy refinement has structure
+        for _ in range(rng.integers(1, 5)):
+            s = int(rng.uniform(0, 0.8) * n)
+            e = min(n, s + int(rng.uniform(0.3, 2.0) * FS))
+            wav[s:e] += 0.4 * np.sin(
+                2 * np.pi * 300 * np.arange(e - s) / FS).astype(np.float32)
+        flags = (rng.random(n // hop) < 0.5).astype(int).tolist()
+
+        ref_processed, ref_refined, ref_time = D.postprocess_vad(flags, wav)
+
+        processed = vad_mod.post_process_speech_flags(flags, 16.0, 200.0,
+                                                      300.0)
+        processed_mask = vad_mod.flags_to_mask(processed, n, hop)
+        refined = vad_mod.refine_vad_boundaries_with_energy(
+            wav, processed_mask, FS, 0.05, 10.0, 10.0)
+        ours_time = vad_mod.mask_to_intervals(refined, FS)
+
+        np.testing.assert_array_equal(ref_processed, processed_mask,
+                                      err_msg=f"trial {trial} processed")
+        np.testing.assert_array_equal(ref_refined, refined,
+                                      err_msg=f"trial {trial} refined")
+        assert [list(map(float, t)) for t in ref_time] == \
+            [list(map(float, t)) for t in ours_time], trial
