@@ -31,7 +31,14 @@ from speaker3d_tpu.utils.fileio import load_audio
 
 
 def circle_pad(x: np.ndarray, target_len: int) -> np.ndarray:
-    """Tile-pad a waveform to target length. (reference: utils/utils.py:232-238)"""
+    """Tile-pad a waveform to target length. (reference: utils/utils.py:232-238)
+
+    Deliberate difference for inputs LONGER than target: the reference
+    returns the input unchanged (a case its call sites never produce —
+    targets are always maxima over the padded set); we truncate, because
+    the static-shape device path requires exactly ``target_len`` samples.
+    Equality on the shared domain is fuzz-pinned
+    (tests/test_ref_pipeline_equiv.py)."""
     n = x.shape[0]
     if n >= target_len:
         return x[:target_len]

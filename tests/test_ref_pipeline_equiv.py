@@ -551,3 +551,54 @@ def test_vad_postprocessing_matches_reference_methods():
                                       err_msg=f"trial {trial} refined")
         assert [list(map(float, t)) for t in ref_time] == \
             [list(map(float, t)) for t in ours_time], trial
+
+
+def test_small_helpers_match_reference_functions():
+    """Fuzz compressed_seg / merge_vad / circle_pad against the reference's
+    own functions run directly (reference: bin/infer_diarization.py:780-797,
+    utils/utils.py:129-138, utils/utils.py:232-238)."""
+    import torch
+
+    from speaker3d_tpu.diar.pipeline import circle_pad, compressed_seg
+    from speaker3d_tpu.diar.vad import merge_vad
+
+    ref_mod = _import_ref_mod()
+    from speakerlab.utils.utils import circle_pad as ref_circle_pad
+    from speakerlab.utils.utils import merge_vad as ref_merge_vad
+
+    rng = np.random.default_rng(33)
+    for trial in range(20):
+        # compressed_seg: random chunk fields with overlaps + repeats
+        n = int(rng.integers(1, 30))
+        st = np.cumsum(rng.uniform(0.0, 1.0, n))
+        fields = [[float(s), float(s + rng.uniform(0.5, 2.0)),
+                   int(rng.integers(0, 3))] for s in st]
+        ref = ref_mod.compressed_seg([list(f) for f in fields])
+        ours = compressed_seg([list(f) for f in fields])
+        assert ref == ours, trial
+
+        # merge_vad: two random interval lists
+        def ivals(k):
+            out = []
+            t = 0.0
+            for _ in range(k):
+                t += rng.uniform(0.0, 1.0)
+                out.append([t, t + rng.uniform(0.1, 1.5)])
+            return out
+
+        a, b = ivals(int(rng.integers(0, 8))), ivals(int(rng.integers(0, 8)))
+        assert ref_merge_vad([list(x) for x in a], [list(x) for x in b]) \
+            == merge_vad(a, b), trial
+
+        # circle_pad on the shared domain (m <= target; the reference's
+        # call sites never produce m > target — there it returns the input
+        # unchanged while our static-shape path truncates, see the
+        # circle_pad docstring)
+        m = int(rng.integers(1, 50))
+        target = int(rng.integers(m, 80))
+        x = rng.standard_normal(m).astype(np.float32)
+        want = ref_circle_pad(torch.from_numpy(x), target).numpy()
+        np.testing.assert_array_equal(circle_pad(x, target), want,
+                                      err_msg=str(trial))
+        # our truncation branch stays exact-length (static shapes)
+        assert circle_pad(x, max(m - 1, 1)).shape[0] == max(m - 1, 1)
