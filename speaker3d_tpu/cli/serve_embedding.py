@@ -34,6 +34,12 @@ def get_args(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--max_wait_ms", type=float, default=10.0)
     p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated duration buckets in seconds (e.g. "
+                        "'1.5,3,6,10'; last = chunk size): requests micro-"
+                        "batch per bucket so short audio doesn't pad to "
+                        "the full chunk (one compiled executable per "
+                        "bucket)")
     return p.parse_args(argv)
 
 
@@ -58,9 +64,11 @@ def main(argv=None):
 
     embed_fn = build_embedding_fn(model, variables, precision="high",
                                   sample_rate=args.sample_rate)
+    buckets = ([float(s) for s in args.buckets.split(",")]
+               if args.buckets else None)
     serve(embed_fn, unix_socket=args.socket, host=args.host, port=args.port,
           batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
-          sample_rate=args.sample_rate)
+          sample_rate=args.sample_rate, bucket_seconds=buckets)
 
 
 if __name__ == "__main__":

@@ -41,17 +41,27 @@ MAX_SECONDS = 90.0
 
 
 class EmbeddingServer:
-    """Micro-batching executor around an ``embed_fn`` ([B, L] -> [B, D])."""
+    """Micro-batching executor around an ``embed_fn`` ([B, L] -> [B, D]).
+
+    ``bucket_seconds``: optional duration buckets (ascending; the last is
+    the chunk size). Chunks micro-batch PER BUCKET, so a 3 s request costs
+    a 3 s executable instead of padding to 10 s — same plan as
+    `cli/extract --buckets` and the native AOT engine (eval/chunking.py).
+    Default (no buckets) keeps the single-executable pad-to-chunk path.
+    """
 
     def __init__(self, embed_fn, batch_size: int = 16,
                  max_wait_ms: float = 10.0, sample_rate: int = 16000,
                  chunk_seconds: float = CHUNK_SECONDS,
-                 max_seconds: float = MAX_SECONDS):
+                 max_seconds: float = MAX_SECONDS,
+                 bucket_seconds=None):
         self.embed_fn = embed_fn
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1000.0
         self.fs = sample_rate
-        self.chunk = int(chunk_seconds * sample_rate)
+        self.buckets = sorted(int(b * sample_rate) for b in
+                              (bucket_seconds or [chunk_seconds]))
+        self.chunk = self.buckets[-1]
         self.max_len = int(max_seconds * sample_rate)
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
@@ -62,16 +72,19 @@ class EmbeddingServer:
 
     def submit(self, wav: np.ndarray) -> Future:
         """Queue a waveform [n] float32; resolves to the embedding [D]."""
-        wav = np.asarray(wav, np.float32).reshape(-1)[: self.max_len]
+        from speaker3d_tpu.eval.chunking import plan_chunks
+
+        wav = np.asarray(wav, np.float32).reshape(-1)
         fut: Future = Future()
         if wav.shape[0] == 0:
             fut.set_exception(ValueError("empty waveform"))
             return fut
-        chunks = [circle_pad(wav[s:s + self.chunk], self.chunk)
-                  for s in range(0, wav.shape[0], self.chunk)]
-        state = {"want": len(chunks), "got": [], "future": fut}
-        for c in chunks:
-            self._q.put((state, c))
+        plan = plan_chunks(wav.shape[0], self.buckets, self.max_len)
+        state = {"want": len(plan), "got": [], "future": fut}
+        for c in plan:
+            self._q.put((state,
+                         circle_pad(wav[c.start:c.start + c.length],
+                                    c.padded), c.padded))
         return fut
 
     def embed(self, wav: np.ndarray, timeout: Optional[float] = 60.0):
@@ -83,40 +96,51 @@ class EmbeddingServer:
 
     # ---- dispatcher --------------------------------------------------------
 
-    def _loop(self):
-        while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first]
-            import time
+    def _dispatch(self, blen, batch):
+        wavs = np.zeros((self.batch_size, blen), np.float32)
+        for i, (_, c, _b) in enumerate(batch):
+            wavs[i] = c
+        try:
+            embs = np.asarray(self.embed_fn(wavs))[: len(batch)]
+        except Exception as e:  # resolve all waiters with the error
+            for state, _, _b in batch:
+                if not state["future"].done():
+                    state["future"].set_exception(e)
+            return
+        for (state, _, _b), e in zip(batch, embs):
+            state["got"].append(e)
+            if len(state["got"]) == state["want"] \
+                    and not state["future"].done():
+                state["future"].set_result(
+                    np.mean(np.stack(state["got"]), axis=0))
 
-            t0 = time.monotonic()
-            while len(batch) < self.batch_size:
-                remaining = self.max_wait - (time.monotonic() - t0)
-                if remaining <= 0:
-                    break
-                try:
-                    batch.append(self._q.get(timeout=remaining))
-                except queue.Empty:
-                    break
-            wavs = np.zeros((self.batch_size, self.chunk), np.float32)
-            for i, (_, c) in enumerate(batch):
-                wavs[i] = c
+    def _loop(self):
+        import time
+
+        pending = {b: [] for b in self.buckets}
+        first_ts = {}
+        while not self._stop.is_set():
+            timeout = 0.1 if not first_ts else min(
+                max(self.max_wait - (time.monotonic() - t), 0.0)
+                for t in first_ts.values()) + 1e-4
             try:
-                embs = np.asarray(self.embed_fn(wavs))[: len(batch)]
-            except Exception as e:  # resolve all waiters with the error
-                for state, _ in batch:
-                    if not state["future"].done():
-                        state["future"].set_exception(e)
-                continue
-            for (state, _), e in zip(batch, embs):
-                state["got"].append(e)
-                if len(state["got"]) == state["want"] \
-                        and not state["future"].done():
-                    state["future"].set_result(
-                        np.mean(np.stack(state["got"]), axis=0))
+                state, c, b = self._q.get(timeout=timeout)
+                pending[b].append((state, c, b))
+                first_ts.setdefault(b, time.monotonic())
+            except queue.Empty:
+                pass
+            now = time.monotonic()
+            for b in self.buckets:
+                while len(pending[b]) >= self.batch_size or (
+                        pending[b]
+                        and now - first_ts.get(b, now) >= self.max_wait):
+                    batch = pending[b][: self.batch_size]
+                    pending[b] = pending[b][self.batch_size:]
+                    if pending[b]:
+                        first_ts[b] = now
+                    else:
+                        first_ts.pop(b, None)
+                    self._dispatch(b, batch)
 
 
 # ---- socket front-end ------------------------------------------------------
@@ -137,11 +161,12 @@ def serve(embed_fn, *, unix_socket: Optional[str] = None,
           host: str = "127.0.0.1", port: int = 0,
           batch_size: int = 16, max_wait_ms: float = 10.0,
           sample_rate: int = 16000, ready_event: Optional[threading.Event] = None,
-          server_holder: Optional[list] = None):
+          server_holder: Optional[list] = None, bucket_seconds=None):
     """Blocking JSON-lines server. Returns only on shutdown()."""
     engine = EmbeddingServer(embed_fn, batch_size=batch_size,
                              max_wait_ms=max_wait_ms,
-                             sample_rate=sample_rate)
+                             sample_rate=sample_rate,
+                             bucket_seconds=bucket_seconds)
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):

@@ -110,3 +110,38 @@ def test_socket_server_end_to_end(embed_fn, tmp_path):
             np.testing.assert_allclose(v, e_pcm, rtol=1e-4, atol=1e-4)
     finally:
         holder[0].shutdown()
+
+
+def test_engine_bucketed_requests(embed_fn):
+    """bucket_seconds: short requests embed at their smallest holding
+    bucket; results match the direct per-bucket computation (same plan as
+    cli/extract --buckets / the native AOT engine)."""
+    from speaker3d_tpu.diar.pipeline import circle_pad
+    from speaker3d_tpu.serve import EmbeddingServer
+
+    rng = np.random.default_rng(1)
+    srv = EmbeddingServer(embed_fn, batch_size=4, max_wait_ms=5.0,
+                          bucket_seconds=[1.5, 3.0, 6.0, 10.0])
+    try:
+        reqs = {
+            "tiny": (0.1 * rng.standard_normal(1 * FS)).astype(np.float32),
+            "mid": (0.1 * rng.standard_normal(4 * FS)).astype(np.float32),
+            "long": (0.1 * rng.standard_normal(13 * FS)).astype(np.float32),
+        }
+        futs = {k: srv.submit(w) for k, w in reqs.items()}
+        out = {k: f.result(timeout=120) for k, f in futs.items()}
+
+        def emb(w, pad_s):
+            p = circle_pad(w, int(pad_s * FS))
+            return np.asarray(embed_fn(p[None]))[0]
+
+        np.testing.assert_allclose(out["tiny"], emb(reqs["tiny"], 1.5),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(out["mid"], emb(reqs["mid"], 6.0),
+                                   rtol=1e-4, atol=1e-4)
+        chunk = int(10 * FS)
+        want = np.mean([emb(reqs["long"][:chunk], 10.0),
+                        emb(reqs["long"][chunk:], 3.0)], axis=0)
+        np.testing.assert_allclose(out["long"], want, rtol=1e-4, atol=1e-4)
+    finally:
+        srv.close()
