@@ -33,6 +33,11 @@ def get_args(argv=None):
                    help="'ark' = Kaldi binary ark+scp (the reference's "
                         "--feat_out_format ark, bin/infer_sv_batch.py:42)")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated duration buckets in seconds "
+                        "(e.g. '1.5,3,6,10'; last = chunk size); the final "
+                        "partial chunk circle-pads to its smallest holding "
+                        "bucket (see cli/extract --buckets)")
     p.add_argument("--nprocs", type=int, default=1,
                    help="local subprocess fan-out (utils/fanout.py); files\n"
                         "shard rank::nprocs. CPU/multi-device hosts only")
@@ -81,8 +86,11 @@ def main(argv=None):
         except OSError as e:
             print(f"[WARNING] skipping {path}: {e}")
 
+    buckets = ([float(s) for s in args.buckets.split(",")]
+               if args.buckets else None)
     embs = extract_embeddings(embed_fn, good_scp, mode="chunked",
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size,
+                              bucket_seconds=buckets)
     os.makedirs(args.out_dir, exist_ok=True)
     if args.out_type == "ark":
         from speaker3d_tpu.utils.kaldi_ark import write_ark_scp
