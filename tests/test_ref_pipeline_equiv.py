@@ -350,6 +350,43 @@ def test_ahc_path_equivalence(paired_models, seed, tmp_path):
     assert len(fields) > 0
 
 
+def test_whole_segment_mode_equivalence(trained_paired_models, tmp_path):
+    """--no_chunk_after_vad (one embedding per VAD segment; the
+    check_single_speaker / .pairs.json style of extraction): VAD segments
+    and final fields must match. Embeddings are compared only on cluster
+    labels — the reference pads every segment to the LONGEST segment in
+    the call while our static-shape path buckets the pad target to a
+    multiple of chunk_dur (deliberate, documented in
+    DiarizationPipeline.do_emb_extraction), so raw embedding equality
+    holds only when all segments share one bucket."""
+    import torch  # noqa: F401 — torch must be importable for the ref side
+
+    from speaker3d_tpu.diar.pipeline import DiarizationPipeline
+    from speaker3d_tpu.diar.vad import EnergyVAD
+
+    ref_mod, tm, embed_fn = trained_paired_models
+    ref_cluster, our_cluster = _make_clusters(ref_mod, "AHC",
+                                              TRAINED_KW["AHC"])
+    wav = _conversation(0)
+
+    ref_pipe = _make_ref_pipeline(
+        ref_mod, tm, TorchKaldiFbank(mean_nor=True),
+        RefVadAdapter(EnergyVAD(FS)), ref_cluster)
+    ref_pipe.no_chunk_after_vad = True
+    our_pipe = DiarizationPipeline(
+        embed_fn, sample_rate=FS, vad=EnergyVAD(FS), cluster=our_cluster,
+        no_chunk_after_vad=True)
+
+    ref_fields = ref_pipe(wav[None, :], wav_fs=FS)
+    our_fields = our_pipe(wav, wav_fs=FS)
+
+    assert ref_pipe.last_vad_time == our_pipe.last_vad_time
+    assert [c[:2] for c in our_pipe.last_chunks] == \
+        [list(t) for t in ref_pipe.last_vad_time]
+    assert _canon(ref_fields) == _canon(our_fields)
+    assert len(set(x[2] for x in ref_fields)) >= 2
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS)
 def test_spectral_path_equivalence(paired_models, seed, tmp_path):
