@@ -16,15 +16,23 @@ from __future__ import annotations
 
 import argparse
 import os
+import shlex
 import shutil
 import subprocess
 import sys
 from concurrent.futures import ThreadPoolExecutor
 
 
+def ffmpeg_argv(src: str, dst: str) -> list:
+    """The conversion command the reference emits (m4a2wav.pl), as argv."""
+    return ["ffmpeg", "-v", "8", "-i", src, "-f", "wav",
+            "-acodec", "pcm_s16le", dst]
+
+
 def ffmpeg_command(src: str, dst: str) -> str:
-    """The exact conversion command the reference emits (m4a2wav.pl)."""
-    return (f"ffmpeg -v 8 -i {src} -f wav -acodec pcm_s16le {dst}")
+    """Shell-safe line for the generated script (paths quoted so
+    whitespace in filenames survives)."""
+    return " ".join(shlex.quote(a) for a in ffmpeg_argv(src, dst))
 
 
 def collect(m4a_root: str, dataset: str, wav_root: str):
@@ -78,7 +86,7 @@ def main(argv=None):
 
         def convert(pair):
             src, dst = pair
-            return subprocess.run(ffmpeg_command(src, dst).split(),
+            return subprocess.run(ffmpeg_argv(src, dst),
                                   capture_output=True).returncode
 
         with ThreadPoolExecutor(max_workers=args.jobs) as ex:

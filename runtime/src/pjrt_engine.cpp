@@ -210,12 +210,15 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
 
   // model meta + StableHLO module(s)
   const std::string meta = ReadFile(model_dir + "/aot.json");
-  frames_ = std::stoi(JsonValue(meta, "frames"));
-  feat_dim_ = std::stoi(JsonValue(meta, "feat_dim"));
-  impl_->emb_dim = std::stoi(JsonValue(meta, "embedding_dim"));
 
   // variable-length serving buckets (cli/export_speaker_embedding.py
-  // --aot_buckets): "buckets": [{"seconds":..,"samples":N,"frames":F},..]
+  // --aot_buckets): "buckets": [{"seconds":..,"samples":N,"frames":F},..].
+  // Top-level scalar keys ("frames", "feat_dim", ...) are parsed from a
+  // copy with the buckets array blanked out: per-bucket objects repeat the
+  // same key names and JsonValue matches the FIRST occurrence, so parsing
+  // the raw string would return buckets[0].frames instead of the top-level
+  // legacy value (ADVICE r3).
+  std::string meta_toplevel = meta;
   std::vector<int> bucket_frames;
   {
     auto bpos = meta.find("\"buckets\"");
@@ -231,6 +234,8 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
           bucket_frames.push_back(
               std::stoi(JsonValue(arr.substr(p), "frames")));
         }
+        meta_toplevel.replace(open, close - open + 1,
+                              std::string(close - open + 1, ' '));
       }
       const std::string ms = JsonValue(meta, "max_seconds");
       const std::string sr = JsonValue(meta, "sample_rate");
@@ -238,6 +243,9 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
         max_samples_ = static_cast<int64_t>(std::stod(ms) * std::stod(sr));
     }
   }
+  frames_ = std::stoi(JsonValue(meta_toplevel, "frames"));
+  feat_dim_ = std::stoi(JsonValue(meta_toplevel, "feat_dim"));
+  impl_->emb_dim = std::stoi(JsonValue(meta_toplevel, "embedding_dim"));
 
   auto compile = [&](std::string code) -> PJRT_LoadedExecutable* {
     PJRT_Program program;

@@ -80,7 +80,12 @@ def get_args(argv=None):
                         "on-device (whole dendrogram in one dispatch) when "
                         "an accelerator is present; 'nnchain'/"
                         "'nnchain_device' force it; 'jax' moves only the "
-                        "affinity on-device (download-bound). docs/BENCH.md.")
+                        "affinity on-device (download-bound). Caveat: "
+                        "'nnchain_device' builds the dendrogram in float32, "
+                        "so near-tie merge order (and labels) can drift "
+                        "from scipy's float64 linkage at hour scale — the "
+                        "auto cutover logs a warning; force 'numpy' for "
+                        "exact reference parity. docs/BENCH.md.")
     p.add_argument("--cluster_mer_cos", type=float, default=0.3)
     p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
     p.add_argument("--cluster_min_cluster_size", type=int, default=0)

@@ -238,8 +238,30 @@ class AHCluster:
         import jax
 
         if jax.devices()[0].platform != "cpu":
+            # float32 device dendrogram: near-tie merge ORDER (hence
+            # labels) can drift from scipy's exact float64 linkage at
+            # hour scale — warn once so divergence is diagnosable
+            # (ADVICE r3).
+            self._warn_cutover(n, "nnchain_device (float32 affinity)")
             return "nnchain_device"
-        return "numpy" if n <= self.cpu_scipy_max_n else "nnchain"
+        if n <= self.cpu_scipy_max_n:
+            return "numpy"
+        self._warn_cutover(n, "nnchain (float64, O(N d) memory)")
+        return "nnchain"
+
+    _cutover_warned = False
+
+    def _warn_cutover(self, n, chosen):
+        if AHCluster._cutover_warned:
+            return
+        AHCluster._cutover_warned = True
+        import logging
+
+        logging.getLogger("speaker3d_tpu").warning(
+            "AHC auto backend: N=%d > %d, switching scipy -> %s; near-tie "
+            "merge order may differ from the reference's exact float64 "
+            "dendrogram (pass backend='numpy' to force exact parity)",
+            n, self.auto_nnchain_n, chosen)
 
     def __call__(self, X, **kwargs):
         from scipy.cluster.hierarchy import fcluster, linkage

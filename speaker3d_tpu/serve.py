@@ -40,6 +40,12 @@ CHUNK_SECONDS = 10.0
 MAX_SECONDS = 90.0
 
 
+def _monotonic():
+    import time
+
+    return time.monotonic()
+
+
 class EmbeddingServer:
     """Micro-batching executor around an ``embed_fn`` ([B, L] -> [B, D]).
 
@@ -81,10 +87,11 @@ class EmbeddingServer:
             return fut
         plan = plan_chunks(wav.shape[0], self.buckets, self.max_len)
         state = {"want": len(plan), "got": [], "future": fut}
+        ts = _monotonic()
         for c in plan:
             self._q.put((state,
                          circle_pad(wav[c.start:c.start + c.length],
-                                    c.padded), c.padded))
+                                    c.padded), c.padded, ts))
         return fut
 
     def embed(self, wav: np.ndarray, timeout: Optional[float] = 60.0):
@@ -98,16 +105,16 @@ class EmbeddingServer:
 
     def _dispatch(self, blen, batch):
         wavs = np.zeros((self.batch_size, blen), np.float32)
-        for i, (_, c, _b) in enumerate(batch):
+        for i, (_, c, *_rest) in enumerate(batch):
             wavs[i] = c
         try:
             embs = np.asarray(self.embed_fn(wavs))[: len(batch)]
         except Exception as e:  # resolve all waiters with the error
-            for state, _, _b in batch:
+            for state, *_rest in batch:
                 if not state["future"].done():
                     state["future"].set_exception(e)
             return
-        for (state, _, _b), e in zip(batch, embs):
+        for (state, *_rest), e in zip(batch, embs):
             state["got"].append(e)
             if len(state["got"]) == state["want"] \
                     and not state["future"].done():
@@ -115,31 +122,29 @@ class EmbeddingServer:
                     np.mean(np.stack(state["got"]), axis=0))
 
     def _loop(self):
-        import time
-
+        # Each queued item carries its ENQUEUE timestamp; a bucket's
+        # deadline is its oldest pending item's ts + max_wait. (Resetting a
+        # shared per-bucket timer after a full-batch dispatch let leftover
+        # items wait up to 2x max_wait — ADVICE r3.)
         pending = {b: [] for b in self.buckets}
-        first_ts = {}
         while not self._stop.is_set():
-            timeout = 0.1 if not first_ts else min(
-                max(self.max_wait - (time.monotonic() - t), 0.0)
-                for t in first_ts.values()) + 1e-4
+            oldest = [items[0][3] for items in pending.values() if items]
+            timeout = 0.1 if not oldest else max(
+                min(oldest) + self.max_wait - _monotonic(), 0.0) + 1e-4
             try:
-                state, c, b = self._q.get(timeout=timeout)
-                pending[b].append((state, c, b))
-                first_ts.setdefault(b, time.monotonic())
+                item = self._q.get(timeout=timeout)
+                pending[item[2]].append(item)
             except queue.Empty:
                 pass
-            now = time.monotonic()
             for b in self.buckets:
+                # _monotonic() re-read per dispatch: a slow embed_fn call
+                # must not stall the OTHER buckets' deadline checks with a
+                # stale clock
                 while len(pending[b]) >= self.batch_size or (
                         pending[b]
-                        and now - first_ts.get(b, now) >= self.max_wait):
+                        and _monotonic() - pending[b][0][3] >= self.max_wait):
                     batch = pending[b][: self.batch_size]
                     pending[b] = pending[b][self.batch_size:]
-                    if pending[b]:
-                        first_ts[b] = now
-                    else:
-                        first_ts.pop(b, None)
                     self._dispatch(b, batch)
 
 

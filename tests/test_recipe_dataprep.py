@@ -220,3 +220,19 @@ def test_m4a2wav_script_generation(tmp_path):
         f"{out}/dev/aac/id00001/recA/00001.wav")
     # target dirs pre-created like the reference's mkdir -p
     assert (out / "dev" / "aac" / "id00001" / "recA").is_dir()
+
+    # paths with whitespace are shell-quoted in the script and passed as a
+    # single argv element by --run (ADVICE r3)
+    import shlex
+
+    ws = tmp_path / "m4a sp" / "dev" / "aac" / "id 01" / "rec A"
+    ws.mkdir(parents=True)
+    (ws / "a b.m4a").write_bytes(b"")
+    out2 = tmp_path / "wav sp"
+    assert mod["main"]([str(tmp_path / "m4a sp"), "dev", str(out2)]) == 0
+    line = (out2 / "dev" / "m4a2wav_dev.sh").read_text().splitlines()[0]
+    argv = shlex.split(line)
+    assert argv[:4] == ["ffmpeg", "-v", "8", "-i"]
+    assert argv[4] == f"{ws}/a b.m4a"
+    assert argv[-1] == f"{out2}/dev/aac/id 01/rec A/a b.wav"
+    assert mod["ffmpeg_argv"](argv[4], argv[-1]) == argv

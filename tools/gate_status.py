@@ -100,7 +100,12 @@ def main():
         "sv-eer-convergence (real train/extract/score CLIs, held-out "
         "speakers)",
         GREEN, "tests/test_sv_eer_convergence.py — base 1.7% EER + "
-               "LM-finetune no-regress (chance 50%)"))
+               "LM-finetune no-regress <= base + 5% abs (chance 50%). "
+               "Caveat: the gate trains Xvector, NOT the flagship — tiny "
+               "ERes2NetV2 provably collapses emb cosines at toy scale "
+               "(measured r3, CLAUDE.md); flagship convergence is instead "
+               "gated by torch parity + trained-model pipeline "
+               "equivalence, an accepted in-container residual risk"))
 
     width = max(len(r[0]) for r in rows)
     print("BASELINE gate status")
