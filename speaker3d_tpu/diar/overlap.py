@@ -53,7 +53,11 @@ class FrameCount:
         return int(np.rint((t - 0.5 * self.frame_duration) / self.frame_step))
 
     def middle(self, i: int) -> float:
-        return i * self.frame_step + 0.5 * self.frame_duration
+        # 0.5*(start+end), NOT start + 0.5*duration: mirrors pyannote
+        # Segment.middle's float rounding exactly (the two differ in the
+        # last ulp and the reference's merged vad_time inherits the value)
+        s = i * self.frame_step
+        return 0.5 * (s + (s + self.frame_duration))
 
     def __len__(self):
         return len(self.data)

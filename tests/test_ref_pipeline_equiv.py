@@ -504,6 +504,221 @@ def test_trained_multicluster_equivalence(trained_paired_models, kind,
     assert len(fields) > 0
 
 
+# ---------------------------------------------------------------------------
+# overlap (Stage-5) equivalence: the reference's own post_process +
+# binary_to_segs as oracle (VERDICT r3 item 1a)
+# ---------------------------------------------------------------------------
+# The reference's include_overlap path consumes pyannote SlidingWindowFeature
+# objects (external download); both pipelines here are fed the SAME scripted
+# segmenter output — ours natively (SlidingSegmentation), the reference's
+# through minimal shims reproducing the exact pyannote.core semantics its
+# methods use (closest_frame / Segment.middle / iteration). The reference
+# code actually driven is its own __call__ composition with
+# include_overlap=True: merge_vad + get_valid_field + post_process (Hungarian
+# channel alignment, count-gated activation clipping, supplement fallback) +
+# binary_to_segs (reference: bin/infer_diarization.py:259-315,651-725,
+# 766-779). Only the external-library pieces are injected (TenVad -> shared
+# EnergyVAD; pyannote Inference.aggregate -> shared aggregate_count), exactly
+# as the non-overlap legs above inject them.
+
+
+class _ShimSegment:
+    """pyannote.core.Segment surface used by the reference: .start, .middle"""
+
+    def __init__(self, start, end):
+        self.start, self.end = start, end
+
+    @property
+    def middle(self):
+        return 0.5 * (self.start + self.end)
+
+
+class _ShimSlidingWindow:
+    """pyannote.core.SlidingWindow: closest_frame + indexing -> Segment."""
+
+    def __init__(self, start, duration, step):
+        self.start, self.duration, self.step = start, duration, step
+
+    def closest_frame(self, t):
+        return int(np.rint(
+            (t - self.start - 0.5 * self.duration) / self.step))
+
+    def __getitem__(self, i):
+        s = self.start + i * self.step
+        return _ShimSegment(s, s + self.duration)
+
+
+class _ShimSWF:
+    """pyannote.core.SlidingWindowFeature: .data, .sliding_window, len,
+    iteration yielding (window[i], data[i])."""
+
+    def __init__(self, data, sliding_window):
+        self.data = data
+        self.sliding_window = sliding_window
+
+    def __len__(self):
+        return len(self.data)
+
+    def __iter__(self):
+        for i in range(len(self.data)):
+            yield self.sliding_window[i], self.data[i]
+
+
+class ScriptedSegmenter:
+    """Deterministic sliding-window 'segmentation model' shared verbatim by
+    both pipelines: binary per-frame activity read off a ground-truth grid,
+    with a per-window CHANNEL PERMUTATION (np.roll by window index) so the
+    reference's per-chunk Hungarian alignment is genuinely exercised — a
+    fixed channel order would make any argmax alignment pass too."""
+
+    window_dur, step_dur = 5.0, 0.5
+    frame_step, frame_duration = 0.01, 0.025
+
+    def __init__(self, gt):
+        self.gt = gt  # [num_frames, 3] binary global speaker activity
+
+    def __call__(self, wav_1d, sample_rate=None):
+        from speaker3d_tpu.diar.overlap import SlidingSegmentation
+
+        n = np.asarray(wav_1d).reshape(-1).shape[0]
+        dur = n / FS
+        n_win = max(1, 1 + int(np.ceil(
+            max(dur - self.window_dur, 0.0) / self.step_dur)))
+        fpc = int(round(self.window_dur / self.frame_step))
+        nf = int(np.ceil(dur / self.frame_step))
+        gt = self.gt
+        if gt.shape[0] < nf:
+            gt = np.pad(gt, ((0, nf - gt.shape[0]), (0, 0)))
+        data = np.zeros((n_win, fpc, 3), np.float32)
+        starts = np.zeros(n_win, np.float64)
+        for k in range(n_win):
+            starts[k] = k * self.step_dur
+            f0 = int(round(starts[k] / self.frame_step))
+            data[k] = gt[f0:f0 + fpc][:, np.roll(np.arange(3), k)]
+        return SlidingSegmentation(data=data, chunk_starts=starts,
+                                   frame_step=self.frame_step,
+                                   frame_duration=self.frame_duration)
+
+
+def _ref_do_segmentation(segmenter, threshold=0.5):
+    """Reference-side stand-in for Diarization3Dspeaker.do_segmentation:
+    the same segmenter + the same aggregation (pyannote Inference.aggregate
+    is external-library code, so — like TenVad — the shared in-repo
+    implementation is injected on both sides), wrapped in pyannote-semantics
+    shims for the reference's own downstream methods."""
+    from speaker3d_tpu.diar.overlap import run_segmentation
+
+    def do_seg(wav_data):
+        w = np.asarray(wav_data).reshape(-1)
+        seg, count = run_segmentation(segmenter, w, FS, threshold=threshold)
+        seg_swf = _ShimSWF(
+            (seg.data > threshold).astype(np.float64),
+            _ShimSlidingWindow(0.0, segmenter.window_dur, segmenter.step_dur))
+        count_swf = _ShimSWF(
+            count.data[:, None],
+            _ShimSlidingWindow(0.0, count.frame_duration, count.frame_step))
+        return seg_swf, count_swf
+
+    return do_seg
+
+
+def _conversation_overlap(seed, dur=60.0):
+    """Sequential 3-speaker conversation + 2 genuine overlap events (a
+    second voice mixed INTO a turn, both marked in gt) + one turn the
+    segmenter 'misses' entirely (gt zeroed -> exercises the reference's
+    supplement_field fallback where clustering found speech but the gated
+    activations are empty)."""
+    rng = np.random.default_rng(seed)
+    fs_step = ScriptedSegmenter.frame_step
+    wav = 0.002 * rng.standard_normal(int(dur * FS)).astype(np.float32)
+    nf = int(np.ceil(dur / fs_step))
+    gt = np.zeros((nf, 3), np.float32)
+    f0s = [110.0, 220.0, 330.0]
+    turns = []
+    t, spk = 1.0, 0
+
+    def mark(a, b, s, v=1.0):
+        gt[int(round(a / fs_step)):int(round(b / fs_step)), s] = v
+
+    while t < dur - 6.0:
+        turn = rng.uniform(2.0, 4.5)
+        n = int(turn * FS)
+        wav[int(t * FS):int(t * FS) + n] += _voice(rng, n, f0s[spk])
+        turns.append((t, t + turn, spk))
+        mark(t, t + turn, spk)
+        t += turn + rng.uniform(0.4, 1.0)
+        spk = (spk + 1) % 3
+    overlaps = []
+    for a, b, s in [tu for tu in turns if tu[1] - tu[0] > 3.0][:2]:
+        o0, o1 = a + 1.0, min(b - 0.5, a + 2.5)
+        s2 = (s + 1) % 3
+        n = int((o1 - o0) * FS)
+        # second voice mixed at 0.4x: audible overlap without letting the
+        # mixed-chunk embeddings bridge the primary speakers' clusters
+        # (average-linkage chaining at these harmonically-nested f0s) —
+        # the overlap ACTIVATIONS come from the segmenter gt, not the audio
+        wav[int(o0 * FS):int(o0 * FS) + n] += 0.4 * _voice(rng, n, f0s[s2])
+        mark(o0, o1, s2)
+        overlaps.append((o0, o1))
+    dropped = [tu for tu in turns
+               if all(not (o0 < tu[1] and tu[0] < o1)
+                      for o0, o1 in overlaps)][3]
+    gt[int(round(dropped[0] / fs_step)):
+       int(round(dropped[1] / fs_step)), :] = 0.0
+    return np.clip(wav, -1.0, 1.0), gt, overlaps, dropped
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", SEEDS)
+def test_overlap_path_equivalence(trained_paired_models, seed, tmp_path):
+    from speaker3d_tpu.diar.pipeline import DiarizationPipeline
+    from speaker3d_tpu.diar.vad import EnergyVAD
+
+    ref_mod, tm, embed_fn = trained_paired_models
+    ref_cluster, our_cluster = _make_clusters(ref_mod, "AHC",
+                                              TRAINED_KW["AHC"])
+    wav, gt, overlaps, dropped = _conversation_overlap(seed)
+    segmenter = ScriptedSegmenter(gt)
+
+    ref_pipe = _make_ref_pipeline(
+        ref_mod, tm, TorchKaldiFbank(mean_nor=True),
+        RefVadAdapter(EnergyVAD(FS)), ref_cluster)
+    ref_pipe.include_overlap = True
+    ref_pipe.do_segmentation = _ref_do_segmentation(segmenter)
+    our_pipe = DiarizationPipeline(
+        embed_fn, sample_rate=FS, vad=EnergyVAD(FS), cluster=our_cluster,
+        segmentation_model=segmenter, segmentation_threshold=0.5)
+
+    ref_fields = ref_pipe(wav[None, :], wav_fs=FS)
+    our_fields = our_pipe(wav, wav_fs=FS)
+
+    # merged VAD (VAD union segmentation valid_field) must agree bitwise:
+    # pins reference get_valid_field + merge_vad against ours in composition
+    assert ref_pipe.last_vad_time == our_pipe.last_vad_time
+    # final overlap-refined fields: exact equality (AHC ids deterministic)
+    assert ref_fields == our_fields
+    assert len({f[2] for f in ref_fields}) >= 2
+
+    def active_at(fields, t):
+        return {cid for st, ed, cid in fields if st < t < ed}
+
+    # at least one injected overlap event surfaces as simultaneous
+    # different-speaker segments in the FINAL output of both sides
+    assert any(len(active_at(ref_fields, 0.5 * (o0 + o1))) >= 2
+               for o0, o1 in overlaps), (overlaps, ref_fields)
+    # the gt-dropped turn survives via the supplement_field fallback
+    assert len(active_at(ref_fields, 0.5 * (dropped[0] + dropped[1]))) >= 1
+
+    # byte-identical RTTM from each side's own writer
+    ref_rttm = tmp_path / f"ref_ov_{seed}.rttm"
+    our_rttm = tmp_path / f"our_ov_{seed}.rttm"
+    ref_pipe.save_diar_output(str(ref_rttm), wav_id="conv",
+                              output_field_labels=ref_fields)
+    our_pipe.save_diar_output(str(our_rttm), wav_id="conv",
+                              output_field_labels=our_fields)
+    assert ref_rttm.read_bytes() == our_rttm.read_bytes()
+
+
 def test_export_torch_state_dict_roundtrip():
     """torch -> flax -> torch must reproduce every tensor bit-for-bit."""
     import torch

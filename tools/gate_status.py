@@ -95,7 +95,9 @@ def main():
         "pipeline-equivalence (reference Diarization3Dspeaker, "
         "byte-identical RTTM)",
         GREEN, "tests/test_ref_pipeline_equiv.py — 3 seeds x {AHC, "
-               "spectral} + trained-model multi-cluster path"))
+               "spectral} + trained-model multi-cluster path + "
+               "include_overlap=True leg driving the reference's own "
+               "post_process/binary_to_segs (r4)"))
     rows.append((
         "sv-eer-convergence (real train/extract/score CLIs, held-out "
         "speakers)",
