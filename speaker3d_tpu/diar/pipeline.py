@@ -150,6 +150,10 @@ class DiarizationPipeline:
         self.last_chunks = None
         self.last_embeddings = None
         self.last_elapsed = None
+        # wall-clock per stage from the last call: keys vad, vad_post,
+        # [segmentation,] embed, cluster[, overlap_post] — the fork's RTF
+        # sidecar (.meta.json) broken down so host/device share is visible
+        self.last_stage_times = {}
 
     # ---- stages ------------------------------------------------------------
 
@@ -221,10 +225,15 @@ class DiarizationPipeline:
 
     def __call__(self, wav, wav_fs=None, speaker_num=None):
         t0 = time.time()
+        stages = self.last_stage_times = {}
         wav_data = load_audio(wav, wav_fs, self.fs)
         wav_1d = np.asarray(wav_data)[0]
 
+        t = time.time()
         flags, wav_for_vad = self.do_vad(wav_1d)
+        stages["vad"] = time.time() - t
+
+        t = time.time()
         processed_mask, refined_mask, vad_time = self.postprocess_vad(
             flags, wav_for_vad)
         hop = int(self.vad_frame_size_ms * self.fs / 1000)
@@ -233,14 +242,17 @@ class DiarizationPipeline:
         self.last_vad_time_processed = vad_mod.mask_to_intervals(
             processed_mask, self.fs)
         self.last_vad_refined_mask = refined_mask
+        stages["vad_post"] = time.time() - t
 
         if self.segmentation_model is not None:
             from speaker3d_tpu.diar.overlap import (
                 get_valid_field, run_segmentation)
+            t = time.time()
             segmentations, count = run_segmentation(
                 self.segmentation_model, wav_1d, self.fs,
                 threshold=self.segmentation_threshold)
             vad_time = vad_mod.merge_vad(vad_time, get_valid_field(count))
+            stages["segmentation"] = time.time() - t
 
         if self.no_chunk_after_vad:
             chunks = [[st, ed] for st, ed in vad_time]
@@ -258,17 +270,23 @@ class DiarizationPipeline:
             self.last_elapsed = time.time() - t0
             return []
 
+        t = time.time()
         embeddings = self.do_emb_extraction(chunks, wav_1d)
         self.last_embeddings = embeddings
+        stages["embed"] = time.time() - t
 
+        t = time.time()
         spk_num, fields = self.do_clustering(chunks, embeddings, speaker_num)
+        stages["cluster"] = time.time() - t
 
         if self.segmentation_model is not None:
             from speaker3d_tpu.diar.overlap import binary_to_segs, post_process
+            t = time.time()
             binary, timestamps = post_process(
                 fields, spk_num, segmentations, count,
                 threshold=self.segmentation_threshold)
             fields = binary_to_segs(binary, timestamps)
+            stages["overlap_post"] = time.time() - t
 
         self.output_field_labels = fields
         self.last_elapsed = time.time() - t0

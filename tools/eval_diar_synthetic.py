@@ -107,6 +107,14 @@ def build_conversation(root, rng, with_overlap=True):
     return path, ref
 
 
+def _trained(exp_dir):
+    """Skip retraining when the experiment already has a checkpoint (lets
+    reruns iterate on the eval without repaying ~10 min of CPU training)."""
+    import glob as _glob
+
+    return bool(_glob.glob(os.path.join(exp_dir, "models", "CKPT-EPOCH-*")))
+
+
 def train_models(root, csv, lst):
     import yaml
 
@@ -128,7 +136,8 @@ def train_models(root, csv, lst):
                               "stats_dim": 32, "embed_dim": 16}}}
     p = os.path.join(root, "sv.yaml")
     yaml.safe_dump(cfg, open(p, "w"))
-    sv_main(["--config", p])
+    if not _trained(sv_exp):
+        sv_main(["--config", p])
 
     vad_exp = os.path.join(root, "vad_exp")
     cfg = {"exp_dir": vad_exp, "speech": lst, "window_dur": 2.0,
@@ -140,7 +149,8 @@ def train_models(root, csv, lst):
                               "lorder": 10, "rorder": 3}}}
     p = os.path.join(root, "vad.yaml")
     yaml.safe_dump(cfg, open(p, "w"))
-    vad_main(["--config", p])
+    if not _trained(vad_exp):
+        vad_main(["--config", p])
 
     seg_exp = os.path.join(root, "seg_exp")
     # r3 retuning (measured sweeps; docs/PARITY.md table): the r2 12-epoch
@@ -159,7 +169,8 @@ def train_models(root, csv, lst):
                               "lorder": 10, "rorder": 10}}}
     p = os.path.join(root, "seg.yaml")
     yaml.safe_dump(cfg, open(p, "w"))
-    seg_main(["--config", p])
+    if not _trained(seg_exp):
+        seg_main(["--config", p])
     return sv_exp, vad_exp, seg_exp
 
 
@@ -178,6 +189,10 @@ def run_config(name, wav, out_root, sv_exp, extra):
     from speaker3d_tpu.cli.infer_diarization import main as diar_main
 
     out_dir = os.path.join(out_root, name)
+    # sklearn k_means draws from the GLOBAL numpy RNG (no random_state,
+    # mirroring reference process/cluster.py:107-110) — reseed per config so
+    # the three rows differ only in their pipeline, not in k-means luck
+    np.random.seed(12345)
     # spectral + oracle speaker count + mer_cos 0.8: the reference RECIPE
     # path knobs (run_audio.sh conf/diar.yaml: spectral, mer_cos 0.8). The
     # fork-default AHC cut (fix_cos_thr .3, mer_cos .3) is calibrated for
