@@ -13,6 +13,7 @@
 
 #include <dlfcn.h>
 
+#include <chrono>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -281,11 +282,19 @@ PjrtEngine::PjrtEngine(const std::string& plugin_so,
       return compile(ReadFile(model_dir + "/" + stem + ".mlir"));
     }
   };
+  auto timed = [&](int f, const std::string& stem) {
+    const auto t0 = std::chrono::steady_clock::now();
+    impl_->execs.emplace_back(f, compile_stem(stem));
+    const double s = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    std::fprintf(stderr, "[pjrt_engine] %s (%d frames) compiled in %.1f s\n",
+                 stem.c_str(), f, s);
+  };
   if (bucket_frames.empty()) {
-    impl_->execs.emplace_back(frames_, compile_stem("model"));
+    timed(frames_, "model");
   } else {
     for (int f : bucket_frames)
-      impl_->execs.emplace_back(f, compile_stem("model_f" + std::to_string(f)));
+      timed(f, "model_f" + std::to_string(f));
   }
 }
 

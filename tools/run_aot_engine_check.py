@@ -37,17 +37,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build_model(kind: str):
-    from speaker3d_tpu.models.eres2netv2 import ERes2NetV2
+    from speaker3d_tpu.models.eres2netv2 import (
+        ERes2NetV2,
+        eres2netv2_w24s4ep4,
+    )
 
     if kind == "tiny":
         return ERes2NetV2(num_blocks=(1, 1, 1, 1), m_channels=8,
                           feat_dim=80, embedding_size=32)
+    if kind == "w24s4ep4":
+        return eres2netv2_w24s4ep4()
     return ERes2NetV2(feat_dim=80, embedding_size=192)
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="tiny", choices=["tiny", "flagship"])
+    p.add_argument("--model", default="tiny",
+                   choices=["tiny", "flagship", "w24s4ep4"])
     p.add_argument("--workdir", default="/tmp/aot_engine_check")
     p.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
     p.add_argument("--frames", type=int, default=298)
