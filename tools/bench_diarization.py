@@ -81,11 +81,15 @@ def main():
         fields = pipe(wav)
         elapsed = time.perf_counter() - t0
         spk = len({f[2] for f in fields})
+        stages = {k: round(v, 2) for k, v in pipe.last_stage_times.items()}
+        host = stages.get("vad", 0) + stages.get("vad_post", 0)
         print(f"[{label}] diarized {audio_s:.0f}s audio in {elapsed:.2f}s "
               f"-> {audio_s/elapsed:.1f} audio-s/s "
               f"(RTF {elapsed/audio_s:.5f}), "
               f"{len(fields)} segments, {spk} speakers, "
-              f"{len(pipe.last_chunks)} chunks", flush=True)
+              f"{len(pipe.last_chunks)} chunks, "
+              f"stages {stages} (host VAD share "
+              f"{100*host/elapsed:.0f}%)", flush=True)
 
 
 if __name__ == "__main__":
