@@ -96,9 +96,11 @@ def write_config(root, csv):
 
 
 def child_env():
-    env = dict(os.environ)
-    env.pop("PYTHONPATH", None)  # breaks axon plugin registration
-    return env
+    # Inherit the environment UNCHANGED: PYTHONPATH here is how the axon
+    # sitecustomize (/root/.axon_site) loads — replacing or dropping it is
+    # what breaks the plugin registration (CLAUDE.md). /root/repo is added
+    # inside the child via sys.path.insert instead.
+    return dict(os.environ)
 
 
 def launch(cfg_path, log_path):
