@@ -85,10 +85,39 @@ def try_ten_vad(sample_rate=16000, frame_ms=16.0, threshold=0.5):
 
 def _runs(x):
     """Run-length encode a 0/1 array -> (starts, lengths, values)."""
-    change = np.flatnonzero(np.diff(x)) + 1
+    change = np.flatnonzero(x[1:] != x[:-1]) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(x)]))
     return starts, ends - starts, x[starts]
+
+
+def _repeat_blocks(values, width: int):
+    """``np.repeat(values, width)`` via a broadcast fill.
+
+    This numpy build's np.repeat is a scalar loop (measured 5.8 s for 86M
+    output samples on the 90-min bench, like its cumsum/diff); a broadcast
+    assignment into a reshaped output runs at memcpy speed."""
+    values = np.asarray(values, dtype=np.float32)
+    out = np.empty(values.shape[0] * width, np.float32)
+    out.reshape(-1, width)[:] = values[:, None]
+    return out
+
+
+def _edges01(mask):
+    """(starts, ends) of the 1-runs of a 0/1 array, diff-free.
+
+    Equivalent to np.where(np.diff(np.concatenate(([0], mask, [0]))) > 0)
+    etc. — np.diff here is a scalar loop (measured 12 s on 86M samples)."""
+    m = np.asarray(mask) > 0
+    if m.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    rise = np.flatnonzero(m[1:] & ~m[:-1]) + 1
+    fall = np.flatnonzero(~m[1:] & m[:-1]) + 1
+    if m[0]:
+        rise = np.concatenate(([0], rise))
+    if m[-1]:
+        fall = np.concatenate((fall, [m.shape[0]]))
+    return rise, fall
 
 
 def post_process_speech_flags(flags, frame_ms: float = 16.0,
@@ -130,7 +159,7 @@ def post_process_speech_flags(flags, frame_ms: float = 16.0,
 def flags_to_mask(flags, num_samples: int, hop_size: int):
     """Frame flags -> per-sample {0,1} mask."""
     mask = np.zeros(num_samples, dtype=np.float32)
-    rep = np.repeat(np.asarray(flags, dtype=np.float32), hop_size)
+    rep = _repeat_blocks(flags, hop_size)
     k = min(rep.shape[0], num_samples)
     mask[:k] = rep[:k]
     return mask
@@ -167,7 +196,7 @@ def frame_energy_envelope(audio, sample_rate: int):
         # cummax(en)[i]; samples in [n_frames*hop, ends[-1]) hold the global
         # max; samples past the last frame's end stay 0.
         m = np.maximum.accumulate(en).astype(np.float32)
-        head = np.repeat(m, hop)
+        head = _repeat_blocks(m, hop)
         k = min(head.shape[0], n)
         env[:k] = head[:k]
         env[k:int(ends[-1])] = m[-1]
@@ -189,9 +218,7 @@ def refine_vad_boundaries_with_energy(audio, vad_mask, sample_rate: int,
     if not env.any():
         return refined
 
-    diff = np.diff(np.concatenate(([0], vad_mask, [0])))
-    starts = np.where(diff > 0)[0]
-    ends = np.where(diff < 0)[0]
+    starts, ends = _edges01(vad_mask)
     if len(starts) == 0:
         return refined
 
@@ -232,9 +259,7 @@ def mask_to_intervals(mask, sample_rate: int):
     (reference: bin/infer_diarization.py:459-482)"""
     if len(mask) == 0:
         return []
-    diff = np.diff(np.concatenate(([0], mask, [0])))
-    starts = np.where(diff > 0)[0]
-    ends = np.where(diff < 0)[0]
+    starts, ends = _edges01(mask)
     return [[float(s) / sample_rate, float(e) / sample_rate]
             for s, e in zip(starts, ends) if e > s]
 
