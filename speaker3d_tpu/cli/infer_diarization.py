@@ -86,6 +86,12 @@ def get_args(argv=None):
                         "from scipy's float64 linkage at hour scale — the "
                         "auto cutover logs a warning; force 'numpy' for "
                         "exact reference parity. docs/BENCH.md.")
+    p.add_argument("--cluster_seed", type=int, default=None,
+                   help="random_state for the spectral path's k-means "
+                        "(default None = reference behavior: sklearn draws "
+                        "from the global numpy RNG and near-tie label "
+                        "splits can flip run to run; an int makes "
+                        "clustering reproducible)")
     p.add_argument("--cluster_mer_cos", type=float, default=0.3)
     p.add_argument("--cluster_fix_cos_thr", type=float, default=0.3)
     p.add_argument("--cluster_min_cluster_size", type=int, default=0)
@@ -178,6 +184,7 @@ def main(argv=None):
             # SpectralCluster has numpy/jax paths only; auto = numpy
             kw = dict(pval=args.cluster_pval, max_num_spks=15,
                       oracle_num=args.speaker_num,
+                      random_state=args.cluster_seed,
                       backend=("numpy" if args.cluster_backend
                                in ("auto", "nnchain", "nnchain_device")
                                else args.cluster_backend))

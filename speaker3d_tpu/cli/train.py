@@ -54,6 +54,10 @@ def main(argv=None):
     from speaker3d_tpu.parallel.mesh import init_multihost
     init_multihost()  # multi-host pods: jax.distributed (no-op single-host)
     args, overrides = get_args(argv)
+    from speaker3d_tpu.utils.misc import set_seed
+    set_seed(args.seed)  # global random/np RNGs drive the crop positions
+    # (reference: bin/train.py:36 set_seed(args.seed)); without it the
+    # trained weights are irreproducible run-to-run
     config = build_config(args.config, overrides,
                           copy_to_exp_dir=jax.process_index() == 0)
     exp_dir = config["exp_dir"]

@@ -70,6 +70,8 @@ def main(argv=None):
                              "train steps (utils/profiling.py)")
     parser.add_argument("--profile_steps", type=int, default=5)
     args, overrides = parser.parse_known_args(argv)
+    from speaker3d_tpu.utils.misc import set_seed
+    set_seed(args.seed)  # reference: bin/train_rdino.py set_seed
     config = build_config(args.config, overrides,
                           copy_to_exp_dir=jax.process_index() == 0)
     exp_dir = config["exp_dir"]

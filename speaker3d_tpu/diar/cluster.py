@@ -94,7 +94,7 @@ class SpectralCluster:
 
     def __init__(self, min_num_spks=1, max_num_spks=10, pval=0.02, min_pnum=6,
                  oracle_num=None, backend: str = "numpy",
-                 eigh_max_n: int = 2048):
+                 eigh_max_n: int = 2048, random_state=None):
         self.min_num_spks = min_num_spks
         self.max_num_spks = max_num_spks
         self.min_pnum = min_pnum
@@ -102,6 +102,11 @@ class SpectralCluster:
         self.k = oracle_num
         self.backend = backend
         self.eigh_max_n = eigh_max_n
+        # None = reference behavior (sklearn k_means draws from the global
+        # numpy RNG, reference process/cluster.py:107-110 — labels can flip
+        # on near-tie splits run to run); an int makes clustering
+        # reproducible without touching the global RNG state
+        self.random_state = random_state
 
     def __call__(self, X, pval=None, speaker_num=None, **kwargs):
         if self.backend == "jax":
@@ -113,13 +118,14 @@ class SpectralCluster:
                 gaps = np.diff(
                     lambdas[self.min_num_spks - 1:self.max_num_spks + 1])
                 num_spk = int(np.argmax(gaps)) + self.min_num_spks
-            return self.kmeans(vecs[:, :num_spk], num_spk)
+            return self.kmeans(vecs[:, :num_spk], num_spk,
+                               self.random_state)
         sim = cosine_affinity(X)
         sim = self.p_pruning(sim, pval)
         sim = 0.5 * (sim + sim.T)
         lap = self.laplacian(sim)
         emb, num_spk = self.spectral_embeddings(lap, speaker_num)
-        return self.kmeans(emb, num_spk)
+        return self.kmeans(emb, num_spk, self.random_state)
 
     def _device_spectral(self, X, pval=None):
         """Affinity -> p-prune -> Laplacian -> eigendecomposition on
@@ -175,10 +181,10 @@ class SpectralCluster:
         return vecs[:, :num_spk], num_spk
 
     @staticmethod
-    def kmeans(emb, k):
+    def kmeans(emb, k, random_state=None):
         from sklearn.cluster import k_means
 
-        _, labels, _ = k_means(emb, k, n_init=10)
+        _, labels, _ = k_means(emb, k, n_init=10, random_state=random_state)
         return labels
 
 

