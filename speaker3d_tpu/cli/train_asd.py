@@ -70,7 +70,10 @@ def main(argv=None):
                    help="write a TensorBoard trace of a window of "
                         "train steps (utils/profiling.py)")
     p.add_argument("--profile_steps", type=int, default=5)
+    p.add_argument("--seed", type=int, default=1234)
     args = p.parse_args(argv)
+    from speaker3d_tpu.utils.misc import set_seed
+    set_seed(args.seed)  # reference: bin/train_asd.py seeds the RNGs
     os.makedirs(args.exp_dir, exist_ok=True)
 
     model = TalkNetModel()
