@@ -209,3 +209,28 @@ def test_spectral_matches_reference_oracle():
         assert any(
             np.array_equal(ref, np.asarray([p[l] for l in ours]))
             for p in itertools.permutations(range(k_ours))), trial
+
+
+def test_ahc_auto_cutover_warns_once(caplog):
+    """The auto backend's scipy->nnchain cutover logs a one-time warning so
+    hour-scale label drift vs the reference's float64 dendrogram is
+    diagnosable (ADVICE r3)."""
+    import logging
+
+    from speaker3d_tpu.diar.cluster import AHCluster
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((40, 8)).astype(np.float32)
+    AHCluster._cutover_warned = False
+    c = AHCluster(fix_cos_thr=0.3, backend="auto", auto_nnchain_n=16,
+                  cpu_scipy_max_n=24)
+    with caplog.at_level(logging.WARNING, logger="speaker3d_tpu"):
+        labels = c(X)
+        assert labels.shape == (40,)
+        warns = [r for r in caplog.records if "AHC auto backend" in r.message]
+        assert len(warns) == 1
+        caplog.clear()
+        c(X)  # second call: warned once already
+        assert not [r for r in caplog.records
+                    if "AHC auto backend" in r.message]
+    AHCluster._cutover_warned = False
