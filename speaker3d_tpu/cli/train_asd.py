@@ -152,7 +152,7 @@ def main(argv=None):
         if jax.process_index() == 0:
             ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
     tracer.close()
-    shutdown.restore()
+    shutdown.finalize()
 
 
 if __name__ == "__main__":

@@ -177,7 +177,7 @@ def main(argv=None):
             host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
             checkpointer.save_checkpoint(epoch, {"train_state": host})
     tracer.close()
-    shutdown.restore()
+    shutdown.finalize()
 
 
 if __name__ == "__main__":

@@ -194,7 +194,7 @@ def main(argv=None):
             ckpt.save_checkpoint(epoch + 1, {"ssl_state": host})
             print(f"epoch {epoch+1}: {avg}")
     tracer.close()
-    shutdown.restore()
+    shutdown.finalize()
 
 
 if __name__ == "__main__":

@@ -49,6 +49,25 @@ class GracefulShutdown:
             except (ValueError, OSError):
                 pass
 
+    def finalize(self):
+        """restore(); then, if a preemption was handled, exit the process
+        WITHOUT running interpreter/PJRT teardown.
+
+        On the tunneled-TPU harness the plugin's client destructor aborts
+        from its worker threads during normal exit AFTER the preemption
+        checkpoint is durably on disk (measured r4, tools/soak_train.py
+        phase 1: rc=-6 with a valid checkpoint). The checkpoint is the
+        recovery contract; os._exit(0) makes the exit code honest too.
+        No-op when no signal was received (in-process callers unaffected)."""
+        self.restore()
+        if self.requested:
+            import os
+            import sys
+
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
+
 
 def save_preemption_checkpoint(checkpointer, epoch_counter, epoch: int,
                                states) -> str:
