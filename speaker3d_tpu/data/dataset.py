@@ -109,7 +109,20 @@ class BatchLoader:
                         if stop.is_set():
                             return
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        # one future per WORKER (contiguous index slices, so
+                        # the flattened sample order matches the sequential
+                        # order — num_workers=1 stays bit-deterministic),
+                        # not one per sample: at B=128 the per-future
+                        # scheduling overhead is a measurable GIL cost on
+                        # small hosts
+                        nw = max(1, min(self.num_workers, len(idxs)))
+                        step = -(-len(idxs) // nw)
+                        chunks = [idxs[j * step:(j + 1) * step]
+                                  for j in range(nw)]
+                        get = self.dataset.__getitem__
+                        parts = pool.map(
+                            lambda ch: [get(i) for i in ch], chunks)
+                        samples = [s for part in parts for s in part]
                         wavs = np.stack([s[0] for s in samples])
                         labels = np.asarray([s[1] for s in samples], np.int32)
                         q.put({"wavs": wavs, "labels": labels})

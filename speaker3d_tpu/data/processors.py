@@ -31,16 +31,16 @@ def speed_perturb(wav: np.ndarray, speed: float, sample_rate: int = 16000):
     """sox `speed S` ≡ resample by 1/S played at the original rate."""
     if speed == 1.0:
         return wav
+    from speaker3d_tpu.data.resample import (
+        out_len,
+        resample_poly_segment,
+        speed_ratio,
+    )
+
     # speed 0.9 -> longer (x 1/0.9); 1.1 -> shorter
-    num, den = {0.9: (10, 9), 1.1: (10, 11)}.get(speed, (None, None))
-    if num is None:
-        from fractions import Fraction
-
-        fr = Fraction(1.0 / speed).limit_denominator(100)
-        num, den = fr.numerator, fr.denominator
-    from scipy.signal import resample_poly
-
-    return resample_poly(wav, num, den).astype(np.float32)
+    num, den = speed_ratio(speed)
+    return resample_poly_segment(wav, num, den, 0,
+                                 out_len(len(wav), num, den))
 
 
 class WavReader:
@@ -61,12 +61,33 @@ class WavReader:
         if self.speed_pertub and self.lm:
             speeds = [1.0, 0.9, 1.1]
             speed_idx = random.randint(0, 2)
-            if speed_idx > 0:
-                wav = speed_perturb(wav, speeds[speed_idx], sr)
         else:
             speed_idx = 0
 
         chunk_len = int(self.duration * sr)
+        if speed_idx > 0:
+            # Resample-then-crop, computed as crop-targeted resampling: the
+            # crop start is drawn over the ANALYTIC resampled length (same
+            # RNG call and bounds as resampling first), then only the
+            # crop's receptive field is filtered (data/resample.py) — the
+            # values match full-signal resample_poly within float32
+            # reassociation.
+            from speaker3d_tpu.data.resample import (
+                out_len,
+                resample_poly_segment,
+                speed_ratio,
+            )
+
+            num, den = speed_ratio(speeds[speed_idx])
+            data_len = out_len(wav.shape[0], num, den)
+            if data_len >= chunk_len:
+                start = random.randint(0, data_len - chunk_len)
+                wav = resample_poly_segment(wav, num, den, start, chunk_len)
+            else:
+                wav = resample_poly_segment(wav, num, den, 0, data_len)
+                wav = np.pad(wav, (0, chunk_len - data_len))
+            return wav.astype(np.float32), speed_idx
+
         data_len = wav.shape[0]
         if data_len >= chunk_len:
             start = random.randint(0, data_len - chunk_len)

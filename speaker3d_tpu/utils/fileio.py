@@ -98,13 +98,7 @@ def write_trans7time_list(path, trans7time_list):
             f.write(f"{spk_id} {st} {ed} {text}\n")
 
 
-def read_wav(path):
-    """Decode a PCM WAV file -> (float32 [channels, n] in [-1, 1], rate)."""
-    with wave.open(path, "rb") as w:
-        n_channels = w.getnchannels()
-        rate = w.getframerate()
-        sampwidth = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+def _pcm_to_float(raw: bytes, sampwidth: int, n_channels: int, path):
     if sampwidth == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sampwidth == 4:
@@ -113,7 +107,59 @@ def read_wav(path):
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:
         raise ValueError(f"unsupported WAV sample width {sampwidth} ({path})")
-    return data.reshape(-1, n_channels).T, rate
+    return data.reshape(-1, n_channels).T
+
+
+def read_wav(path):
+    """Decode a PCM WAV file -> (float32 [channels, n] in [-1, 1], rate).
+
+    Fast path: one read + direct RIFF chunk parse (the stdlib ``wave``
+    module's per-chunk reads are a measurable loader cost at
+    128 files/batch); the ``wave`` module remains the fallback for any
+    layout the parser does not recognize, preserving its error behavior.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    try:
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not RIFF/WAVE")
+        pos, end = 12, len(buf)
+        fmt = None
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            body = pos + 8
+            if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError("short fmt chunk")
+                audio_format = int.from_bytes(buf[body:body + 2], "little")
+                n_channels = int.from_bytes(buf[body + 2:body + 4], "little")
+                rate = int.from_bytes(buf[body + 4:body + 8], "little")
+                bits = int.from_bytes(buf[body + 14:body + 16], "little")
+                if audio_format != 1 or n_channels < 1 or bits % 8:
+                    raise ValueError("non-PCM or odd fmt")  # wave fallback
+                fmt = (n_channels, rate, bits // 8)
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError("data before fmt")
+                n_channels, rate, sampwidth = fmt
+                nbytes = min(size, end - body)
+                frame = sampwidth * n_channels
+                nbytes -= nbytes % frame
+                raw = buf[body:body + nbytes]
+                return _pcm_to_float(raw, sampwidth, n_channels, path), rate
+            pos = body + size + (size & 1)
+        raise ValueError("no data chunk")
+    except ValueError:
+        pass
+    import io
+
+    with wave.open(io.BytesIO(buf)) as w:
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    return _pcm_to_float(raw, sampwidth, n_channels, path), rate
 
 
 def write_wav(path, wav, rate=16000):
@@ -130,16 +176,24 @@ def write_wav(path, wav, rate=16000):
 
 
 def resample(wav, orig_rate: int, new_rate: int):
-    """Polyphase resampling (host-side)."""
+    """Polyphase resampling (host-side; native kernel when built, scipy
+    fallback — outputs match within float32 reassociation)."""
     if orig_rate == new_rate:
         return wav
     from math import gcd
 
-    from scipy.signal import resample_poly
-
     g = gcd(orig_rate, new_rate)
-    return resample_poly(wav, new_rate // g, orig_rate // g, axis=-1).astype(
-        np.float32)
+    up, down = new_rate // g, orig_rate // g
+    from speaker3d_tpu.data.resample import out_len, resample_poly_segment
+
+    wav = np.asarray(wav)
+    n_out = out_len(wav.shape[-1], up, down)
+    if wav.ndim == 1:
+        return resample_poly_segment(wav, up, down, 0, n_out)
+    flat = wav.reshape(-1, wav.shape[-1])
+    out = np.stack([resample_poly_segment(ch, up, down, 0, n_out)
+                    for ch in flat])
+    return out.reshape(wav.shape[:-1] + (n_out,))
 
 
 def load_audio(input, ori_fs: Optional[int] = None, obj_fs: Optional[int] = None):

@@ -39,8 +39,14 @@ FS = 16000
 N_SPK = 64
 UTT_PER_SPK = 4
 ROWS = 12800          # 100 steps/epoch at B=128
-EPOCHS = 10           # => 1,000 steps total
-KILL_AFTER_EPOCHS = 2
+# Env overrides for short throughput-only reruns (defaults = the full
+# 1,000-step kill+resume soak):
+#   S3D_SOAK_EPOCHS=3 S3D_SOAK_KILL=0   -> 300 steps, no preemption leg
+#   S3D_SOAK_SPEED=1                    -> speed_pertub: true (exercises
+#                                          the native host resampler)
+EPOCHS = int(os.environ.get("S3D_SOAK_EPOCHS", "10"))
+KILL_AFTER_EPOCHS = int(os.environ.get("S3D_SOAK_KILL", "2"))
+SPEED_PERTUB = os.environ.get("S3D_SOAK_SPEED", "0") == "1"
 
 
 def build_corpus(root):
@@ -82,7 +88,7 @@ def write_config(root, csv):
     import yaml
 
     cfg = {"exp_dir": os.path.join(root, "exp"), "data": csv,
-           "wav_len": 3.0, "speed_pertub": False, "aug_prob": 0.0,
+           "wav_len": 3.0, "speed_pertub": SPEED_PERTUB, "aug_prob": 0.0,
            "batch_size": 128, "num_workers": 2, "num_epoch": EPOCHS,
            "embedding_size": 192, "compute_dtype": "bfloat16",
            "max_lr": 0.1, "min_lr": 0.01, "warmup_epoch": 2,
@@ -132,6 +138,8 @@ def main():
     log_path = os.path.join(root, "train_stdout.log")
 
     # ---- phase 1: run, then SIGTERM after KILL_AFTER_EPOCHS epochs ------
+    # (KILL_AFTER_EPOCHS == 0 skips the preemption leg: single run to
+    # completion, for short throughput-only reruns)
     t_start = time.time()
     proc, logf = launch(cfg_path, log_path)
     print(f"[soak] phase-1 pid {proc.pid}", flush=True)
@@ -139,7 +147,8 @@ def main():
     while proc.poll() is None:
         time.sleep(10)
         done = len(epochs_logged(exp_dir))
-        if done >= KILL_AFTER_EPOCHS and killed_at is None:
+        if KILL_AFTER_EPOCHS and done >= KILL_AFTER_EPOCHS \
+                and killed_at is None:
             # mid-epoch by construction: the next epoch started right
             # after the log line was written
             time.sleep(15)  # let epoch KILL_AFTER_EPOCHS+1 get underway
@@ -153,19 +162,23 @@ def main():
             return 1
     logf.close()
     rc1 = proc.returncode
-    txt = open(log_path).read()
-    assert "[preemption]" in txt, "no preemption checkpoint recorded"
+    if KILL_AFTER_EPOCHS:
+        txt = open(log_path).read()
+        assert "[preemption]" in txt, "no preemption checkpoint recorded"
     e1 = epochs_logged(exp_dir)
     print(f"[soak] phase-1 exit rc={rc1}, epochs logged: {len(e1)}",
           flush=True)
 
-    # ---- phase 2: resume to completion ----------------------------------
-    proc, logf = launch(cfg_path, log_path)
-    print(f"[soak] phase-2 (resume) pid {proc.pid}", flush=True)
-    while proc.poll() is None:
-        time.sleep(15)
-    logf.close()
-    rc2 = proc.returncode
+    if KILL_AFTER_EPOCHS:
+        # ---- phase 2: resume to completion ------------------------------
+        proc, logf = launch(cfg_path, log_path)
+        print(f"[soak] phase-2 (resume) pid {proc.pid}", flush=True)
+        while proc.poll() is None:
+            time.sleep(15)
+        logf.close()
+        rc2 = proc.returncode
+    else:
+        rc2 = rc1
     e2 = epochs_logged(exp_dir)
     print(f"[soak] phase-2 exit rc={rc2}, epochs logged: {len(e2)}",
           flush=True)
@@ -183,16 +196,22 @@ def main():
         walls.append(float(re.search(r"time_s: ([\d.]+)", line).group(1)))
         m = re.search(r"data_wait_s: ([\d.]+)", line)
         waits.append(float(m.group(1)) if m else float("nan"))
-    first, mid, last = losses[0], losses[KILL_AFTER_EPOCHS], losses[-1]
-    assert last < mid < first, f"loss not decreasing: {losses}"
-    assert mid < 0.7 * first, (
-        f"post-resume epoch loss {mid} looks re-initialized vs {first}")
+    if KILL_AFTER_EPOCHS:
+        first, mid, last = losses[0], losses[KILL_AFTER_EPOCHS], losses[-1]
+        assert last < mid < first, f"loss not decreasing: {losses}"
+        assert mid < 0.7 * first, (
+            f"post-resume epoch loss {mid} looks re-initialized vs {first}")
 
-    # ---- throughput (warm epochs only: skip the two compile epochs) -----
+    # ---- throughput (warm epochs only: skip the compile epochs) ---------
     steps_per_epoch = ROWS // 128
     audio_s_epoch = steps_per_epoch * 128 * 3.0
-    warm_walls = walls[1:KILL_AFTER_EPOCHS] + walls[KILL_AFTER_EPOCHS + 1:]
-    warm_waits = waits[1:KILL_AFTER_EPOCHS] + waits[KILL_AFTER_EPOCHS + 1:]
+    if KILL_AFTER_EPOCHS:
+        warm_walls = walls[1:KILL_AFTER_EPOCHS] \
+            + walls[KILL_AFTER_EPOCHS + 1:]
+        warm_waits = waits[1:KILL_AFTER_EPOCHS] \
+            + waits[KILL_AFTER_EPOCHS + 1:]
+    else:
+        warm_walls, warm_waits = walls[1:], waits[1:]
     tp = [audio_s_epoch / w for w in warm_walls]
     print(json.dumps({
         "metric": "soak_train_throughput", "unit": "audio-seconds/s/chip",
