@@ -83,6 +83,10 @@ def main(argv=None):
     n_proc = jax.process_count()
     global_batch = config.get("batch_size", 128)
     per_host_batch = global_batch // n_proc
+    # PCM16 wire format halves the per-step host->device wav upload
+    # (24.6 -> 12.3 MB at B=128); the step reconstructs k/32768 exactly
+    # on device. wire_dtype: float32 opts out.
+    wire = config.get("wire_dtype", "int16")
     loader = BatchLoader(
         dataset,
         batch_size=per_host_batch,
@@ -90,6 +94,7 @@ def main(argv=None):
         seed=args.seed,
         process_index=jax.process_index(),
         process_count=n_proc,
+        wire_dtype=None if wire == "float32" else wire,
     )
     step_per_epoch = len(loader)
 

@@ -66,7 +66,7 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, seed: int = 0, prefetch: int = 4,
                  process_index: int = 0, process_count: int = 1,
-                 drop_last: bool = True):
+                 drop_last: bool = True, wire_dtype: Optional[str] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -76,6 +76,13 @@ class BatchLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.drop_last = drop_last
+        # wire_dtype='int16': ship wavs as PCM16 over the host->device link
+        # (half the bytes of float32; the train step converts back on
+        # device). Exact for PCM16-decoded samples (k/32768 -> k); augmented
+        # float values re-quantize with <= 1/65536 abs error — below the
+        # augmentation noise floor by construction. Opt-in per trainer.
+        assert wire_dtype in (None, "int16"), wire_dtype
+        self.wire_dtype = wire_dtype
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -125,6 +132,9 @@ class BatchLoader:
                         samples = [s for part in parts for s in part]
                         wavs = np.stack([s[0] for s in samples])
                         labels = np.asarray([s[1] for s in samples], np.int32)
+                        if self.wire_dtype == "int16":
+                            wavs = np.clip(np.rint(wavs * 32768.0),
+                                           -32768, 32767).astype(np.int16)
                         q.put({"wavs": wavs, "labels": labels})
             except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
                 q.put(exc)

@@ -158,6 +158,10 @@ def make_sv_train_step(model, cfg: SVTrainConfig, mesh: Mesh,
 
     def shard_body(state, batch):
         feats, labels = batch[batch_key], batch["labels"]
+        if feats.dtype == jnp.int16:
+            # int16 wire format (BatchLoader wire_dtype): half the
+            # host->device bytes; exact k/32768 reconstruction on device
+            feats = feats.astype(jnp.float32) * (1.0 / 32768.0)
         if feature_fn is not None:
             feats = feature_fn(feats)
         local_b = feats.shape[0]

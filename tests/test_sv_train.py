@@ -217,3 +217,55 @@ def test_training_learns():
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
     assert np.mean(accs[-8:]) > 0.8, accs[-8:]
     assert int(_get(state)["step"]) == 60
+
+
+def test_int16_wire_matches_float32():
+    """PCM16 wire format (BatchLoader wire_dtype='int16'): the device-side
+    k/32768 reconstruction makes the step BITWISE identical to feeding the
+    same float32 values, and the loader's quantization is an exact
+    round-trip for PCM16-decoded samples."""
+    model = TinyModelNoBN()
+    rng = jax.random.PRNGKey(3)
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+
+    # wav-domain batch: values on the PCM16 grid k/32768
+    g = np.random.default_rng(0)
+    k = g.integers(-32768, 32768, size=(8, 80), dtype=np.int64)
+    wavs32 = (k / 32768.0).astype(np.float32)
+    labels = g.integers(0, 10, 8).astype(np.int32)
+
+    def feature_fn(w):
+        return w.reshape(w.shape[0], 4, 20)
+
+    state0 = init_sv_train_state(rng, model, feature_fn(wavs32[:1]), CFG,
+                                 mesh)
+    host0 = _get(state0)
+    step = make_sv_train_step(model, CFG, mesh, host0,
+                              feature_fn=feature_fn)
+
+    s_f32, m_f32 = step(state0, {"wavs": wavs32, "labels": labels})
+    state0b = jax.device_put(host0)
+    s_i16, m_i16 = step(state0b, {"wavs": k.astype(np.int16),
+                                  "labels": labels})
+    assert float(m_f32["loss"]) == float(m_i16["loss"])
+    a, b = _get(s_f32)["params"], _get(s_i16)["params"]
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(la, lb)
+
+    # loader emits int16 that reconstructs the dataset's float32 exactly
+    from speaker3d_tpu.data.dataset import BatchLoader
+
+    class _DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return wavs32[i], np.int32(labels[i])
+
+    loader = BatchLoader(_DS(), batch_size=8, shuffle=False, num_workers=2,
+                         wire_dtype="int16")
+    batch = next(iter(loader))
+    assert batch["wavs"].dtype == np.int16
+    np.testing.assert_array_equal(
+        batch["wavs"].astype(np.float32) / 32768.0, wavs32)
