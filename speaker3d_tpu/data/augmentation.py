@@ -22,9 +22,12 @@ from speaker3d_tpu.utils.fileio import load_wav_scp, read_wav
 
 
 def addreverb(wav: np.ndarray, rir_wav: np.ndarray) -> np.ndarray:
-    """(reference: process/augmentation.py:12-22)"""
-    wav = np.asarray(wav, dtype=np.float64)
-    rir = np.asarray(rir_wav, dtype=np.float64)
+    """(reference: process/augmentation.py:12-22). float32 throughout —
+    the reference convolves the torch tensors' float32 numpy views, and the
+    parity test pins bitwise equality (float64 here would both diverge and
+    cost 2x)."""
+    wav = np.asarray(wav, dtype=np.float32)
+    rir = np.asarray(rir_wav, dtype=np.float32)
     rir = rir / np.sqrt(np.sum(rir ** 2))
     out = signal.convolve(wav, rir, mode="full")[: wav.shape[0]]
     out = out / (np.max(np.abs(out)) + 1e-6)
@@ -33,18 +36,26 @@ def addreverb(wav: np.ndarray, rir_wav: np.ndarray) -> np.ndarray:
 
 def addnoise(wav: np.ndarray, noise=None, snr_high=15, snr_low=0,
              rng: random.Random = random) -> np.ndarray:
-    """(reference: process/augmentation.py:24-48)"""
-    wav = np.asarray(wav, dtype=np.float64)
+    """(reference: process/augmentation.py:24-48), float32 like the
+    reference's numpy views of torch tensors."""
+    wav = np.asarray(wav, dtype=np.float32)
     if noise is None:
         noise = np.random.randn(*wav.shape)
-    noise = np.asarray(noise, dtype=np.float64)
+    noise = np.asarray(noise, dtype=np.float32)
 
     wav_len, noise_len = wav.shape[0], noise.shape[0]
     if noise_len >= wav_len:
         start = rng.randint(0, noise_len - wav_len)
         noise = noise[start:start + wav_len]
     else:
-        noise = np.tile(noise, wav_len // noise_len + 1)[:wav_len]
+        # Reference quirk preserved: `noise.repeat(k)` on an ndarray is
+        # ELEMENT-wise repetition (sample-and-hold), not np.tile
+        # (reference: process/augmentation.py:37-38). Broadcast-fill form
+        # because this numpy build's np.repeat is a scalar loop.
+        k = wav_len // noise_len + 1
+        noise = np.ascontiguousarray(
+            np.broadcast_to(noise[:, None], (noise_len, k))).reshape(-1)
+        noise = noise[:wav_len]
 
     wav_db = 10 * np.log10(np.mean(wav ** 2) + 1e-6)
     noise_db = 10 * np.log10(np.mean(noise ** 2) + 1e-6)
