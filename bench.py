@@ -89,6 +89,45 @@ def main():
         np.linalg.norm(e_ref, axis=-1) * np.linalg.norm(e_b16, axis=-1))
     assert cos.min() > 0.999, f"bf16 drift too large: min cosine {cos.min()}"
 
+    # --- tunnel condition probe (diagnostic line, not a perf claim) --------
+    # This harness reaches the chip through a shared tunnel whose BULK
+    # bandwidth fluctuates ~6x hour-to-hour (measured 10 vs 60 MB/s the
+    # same day; CLAUDE.md). The in-jit serving/train lines are insensitive
+    # to it, but the diarization line's per-batch chunk uploads are — this
+    # line records the conditions the other lines were measured under.
+    try:
+        probe = jax.jit(lambda b, i: jnp.sum(b) * i)
+        big = (rng.standard_normal((BATCH, seg)) * 0.1).astype(np.float32)
+        _ = float(probe(big, 1.0))  # compile
+        lat = []
+        tiny = jnp.ones((1024,), jnp.float32)
+        tprobe = jax.jit(lambda x, i: x * i)
+        _ = np.asarray(tprobe(tiny, 1.0))
+        for i in range(5):
+            t0 = time.perf_counter()
+            _ = np.asarray(tprobe(tiny, float(i + 2)))
+            lat.append(time.perf_counter() - t0)
+        ups = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            _ = float(probe(big * (1.0 + i * 1e-6), float(i + 2)))
+            ups.append(time.perf_counter() - t0)
+        mb = big.nbytes / 1e6
+        bw = mb / float(np.median(ups))
+        print(json.dumps({
+            "metric": "tunnel_upload_bandwidth",
+            "value": round(bw, 1),
+            "unit": "MB/s",
+            # vs the ~60 MB/s measured in a healthy hour (docs/BENCH.md)
+            "vs_baseline": round(bw / 60.0, 3),
+            "dispatch_latency_ms": round(1e3 * float(np.median(lat)), 1),
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        print(f"tunnel probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+
     # --- timed run ---------------------------------------------------------
     @jax.jit
     def run(w):
