@@ -11,6 +11,17 @@ local crops pairwise into 4 s rows and computes MelSpectrogram on CPU; here
 crops are returned raw (the device computes mel features inside the train
 step) and SDPN's random time/freq erasing runs on-device
 (train step feature path), with the same distributions.
+
+Documented scale deviation: the reference reads crops via scipy
+``wavfile.read`` and so mixes at RAW int16 scale (+-32768); this pipeline
+uses the repo-wide [-1, 1] float convention. The SNR mixing is dB-relative
+and the RDINO/SDPN backbones apply log + InstanceNorm, so absolute scale
+cancels — except the reference's ``+1e-4`` epsilon inside
+``log10(mean(x^2) + 1e-4)`` (dataset_rdino.py:113-114), which is
+negligible at int16 scale but biases clean_db upward for very quiet
+[-1, 1] audio (slightly less noise added than the reference would).
+Accepted: the epsilon exists to guard silence, and matching it exactly
+would require adopting int16-scale floats throughout the SSL path.
 """
 
 from __future__ import annotations
