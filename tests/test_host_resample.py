@@ -34,7 +34,7 @@ def _build_native():
 
 
 @pytest.fixture(scope="module", params=["native", "fallback"])
-def backend(request, monkeypatch_module=None):
+def backend(request):
     if request.param == "native":
         _build_native()
         if _native_lib() is None:
