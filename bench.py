@@ -107,10 +107,14 @@ def main():
             t0 = time.perf_counter()
             _ = np.asarray(tprobe(tiny, float(i + 2)))
             lat.append(time.perf_counter() - t0)
+        # pre-materialize the perturbed arrays so the timed region is
+        # device_put + dispatch + scalar fetch only (not a 24.6 MB host
+        # multiply on this 2-core box — ADVICE r4)
+        perturbed = [big * (1.0 + i * 1e-6) for i in range(3)]
         ups = []
-        for i in range(3):
+        for i, arr in enumerate(perturbed):
             t0 = time.perf_counter()
-            _ = float(probe(big * (1.0 + i * 1e-6), float(i + 2)))
+            _ = float(probe(arr, float(i + 2)))
             ups.append(time.perf_counter() - t0)
         mb = big.nbytes / 1e6
         bw = mb / float(np.median(ups))

@@ -87,6 +87,10 @@ def main(argv=None):
     # (24.6 -> 12.3 MB at B=128); the step reconstructs k/32768 exactly
     # on device. wire_dtype: float32 opts out.
     wire = config.get("wire_dtype", "int16")
+    if wire not in ("float32", "int16"):
+        raise ValueError(
+            f"config key 'wire_dtype' must be 'float32' or 'int16', "
+            f"got {wire!r}")
     loader = BatchLoader(
         dataset,
         batch_size=per_host_batch,

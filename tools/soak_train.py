@@ -211,6 +211,9 @@ def main():
         warm_waits = waits[1:KILL_AFTER_EPOCHS] \
             + waits[KILL_AFTER_EPOCHS + 1:]
     else:
+        assert EPOCHS >= 2, (
+            "S3D_SOAK_KILL=0 needs S3D_SOAK_EPOCHS >= 2: epoch 0 is the "
+            "compile epoch and is excluded from the throughput median")
         warm_walls, warm_waits = walls[1:], waits[1:]
     tp = [audio_s_epoch / w for w in warm_walls]
     print(json.dumps({
