@@ -198,6 +198,9 @@ def main():
             "chunks": len(pipe.last_chunks),
             "stages_s": {k: round(v, 3)
                          for k, v in pipe.last_stage_times.items()},
+            # r5: audio is device-resident (one upload per file; int16 when
+            # the source is PCM16-exact) — wire shows what actually shipped
+            "wire": pipe.last_wire,
         }), flush=True)
     except Exception as e:  # noqa: BLE001
         import sys

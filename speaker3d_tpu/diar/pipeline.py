@@ -29,6 +29,69 @@ from speaker3d_tpu.diar import vad as vad_mod
 from speaker3d_tpu.diar.cluster import CommonClustering
 from speaker3d_tpu.utils.fileio import load_audio
 
+# Device-resident audio (r5): each file's waveform uploads ONCE and chunk
+# slicing + circle-padding happen on device, so the embed stage ships ~1x
+# the audio bytes (int16 when exact) instead of ~3x (the 2x chunk-overlap
+# redundancy x float32 of the old host slice/pad/stack path). Uploads pad
+# to a multiple of WAV_SLAB samples so the tiny gather executable compiles
+# once per slab-count class, not once per exact file length.
+WAV_SLAB = 1 << 18  # 262,144 samples = 16.384 s; <=0.5 MB int16 pad waste
+
+_GATHER_CACHE: dict = {}
+
+
+def _gather_chunks_jit():
+    """Module-level cache for the jitted on-device chunk gather (a
+    method-local jit would recompile every call — CLAUDE.md)."""
+    fn = _GATHER_CACHE.get("fn")
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("chunk_len",))
+        def gather(wav, starts, lens, chunk_len):
+            # wav: [k*WAV_SLAB] int16|float32 resident waveform
+            # starts/lens: [B] int32 host scalars per chunk
+            # out: [B, chunk_len] float32, circle-padded exactly like the
+            # host path (reference: utils/utils.py:232-238 circle_pad +
+            # bin/infer_diarization.py:621-639 slice/pad/stack)
+            t = jnp.arange(chunk_len, dtype=jnp.int32)
+            n = jnp.maximum(lens, 1)[:, None]
+            idx = starts[:, None] + t[None, :] % n
+            chunks = wav[idx]
+            if chunks.dtype == jnp.int16:
+                # k/32768 is an exact power-of-two scale: bitwise equal to
+                # the host int16->float32 conversion (tests pin this)
+                chunks = chunks.astype(jnp.float32) * jnp.float32(1 / 32768)
+            else:
+                chunks = chunks.astype(jnp.float32)
+            # empty host slice -> reference substitutes zeros(1) -> all-zero
+            # chunk; batch-pad rows (lens==0) zero the same way
+            return jnp.where(lens[:, None] == 0, jnp.float32(0), chunks)
+
+        fn = _GATHER_CACHE["fn"] = gather
+    return fn
+
+
+def _wire_quantize(wav_1d: np.ndarray):
+    """Return the waveform as int16 iff every sample is exactly k/32768
+    (then the device reconstruction is bitwise exact), else None.
+
+    Value-based, so it is safe for any source: PCM16-decoded audio passes,
+    resampled/augmented float audio fails and ships float32. A 64k-sample
+    prefix check short-circuits the common non-PCM case cheaply."""
+    if wav_1d.size == 0:
+        return None
+    r = None
+    for sl in (slice(0, 65536), slice(None)):
+        x = wav_1d[sl] * np.float32(32768.0)
+        r = np.rint(x)
+        if not (np.array_equal(r, x) and r.min() >= -32768.0
+                and r.max() <= 32767.0):
+            return None
+    return r.astype(np.int16)
+
 
 def circle_pad(x: np.ndarray, target_len: int) -> np.ndarray:
     """Tile-pad a waveform to target length. (reference: utils/utils.py:232-238)
@@ -150,6 +213,9 @@ class DiarizationPipeline:
         self.last_chunks = None
         self.last_embeddings = None
         self.last_elapsed = None
+        # wire diagnostics from the last upload: {'dtype', 'bytes'} — int16
+        # when the source was exactly PCM16-representable, else float32
+        self.last_wire = None
         # wall-clock per stage from the last call: keys vad, vad_post,
         # [segmentation,] embed, cluster[, overlap_post] — the fork's RTF
         # sidecar (.meta.json) broken down so host/device share is visible
@@ -172,8 +238,31 @@ class DiarizationPipeline:
         vad_time = vad_mod.mask_to_intervals(refined_mask, self.fs)
         return processed_mask, refined_mask, vad_time
 
+    def _resident_wav(self, wav_1d):
+        """Upload the file's waveform ONCE (int16 wire when every sample is
+        exactly k/32768 — bitwise-exact device reconstruction — else
+        float32), padded to a WAV_SLAB multiple for a bounded executable
+        count. Cached per wav object so save_pairs reuses the upload."""
+        cached = getattr(self, "_resident_cache", None)
+        if cached is not None and cached[0] is wav_1d:
+            return cached[1]
+        import jax
+
+        w16 = _wire_quantize(wav_1d)
+        host = w16 if w16 is not None else np.ascontiguousarray(
+            wav_1d, dtype=np.float32)
+        pad = (-len(host)) % WAV_SLAB
+        if pad:
+            host = np.concatenate([host, np.zeros(pad, host.dtype)])
+        dev = jax.device_put(host)
+        self.last_wire = {"dtype": str(host.dtype), "bytes": host.nbytes}
+        self._resident_cache = (wav_1d, dev)
+        return dev
+
     def do_emb_extraction(self, chunks: Sequence[Sequence[float]], wav_1d):
-        """Slice, circle-pad to a STATIC chunk length, batch, embed on device.
+        """Embed chunks from the device-resident waveform: slicing and
+        circle-padding to a STATIC chunk length happen ON DEVICE via an
+        index gather (starts/lengths are the only per-batch upload).
         (reference: bin/infer_diarization.py:621-639)
 
         The reference pads every chunk to the LONGEST chunk in the call, so
@@ -183,34 +272,56 @@ class DiarizationPipeline:
         chunk_dur (one compile per distinct bucket, not per length); the
         sliding-window path where every chunk == chunk_dur is unchanged."""
         L = int(self.chunk_dur * self.fs)
-        max_len = max(
-            (int(ed * self.fs) - int(st * self.fs) for st, ed in chunks),
-            default=L)
+        bounds = [(int(st * self.fs), int(ed * self.fs)) for st, ed in chunks]
+        max_len = max((ed - st for st, ed in bounds), default=L)
         if max_len > L:
             L = -(-max_len // L) * L  # bucketed: ceil(max/chunk)*chunk
-        wavs = []
-        for st, ed in chunks:
-            piece = wav_1d[int(st * self.fs):int(ed * self.fs)]
-            if piece.shape[0] == 0:
-                piece = np.zeros(1, dtype=np.float32)
-            wavs.append(circle_pad(piece, L))
-        wavs = np.stack(wavs).astype(np.float32)
+
+        try:
+            dev_wav = self._resident_wav(wav_1d)
+        except ImportError:  # host-only fallback (no jax): old slice path
+            return self._emb_extraction_host(bounds, wav_1d, L)
+        gather = _gather_chunks_jit()
+        starts = np.asarray([st for st, _ in bounds], np.int32)
+        lens = np.asarray([ed - st for st, ed in bounds], np.int32)
 
         out = []
         bs = self.batch_size
         in_flight = []  # double-buffered async dispatch (see cli/extract.py)
-        for s in range(0, len(wavs), bs):
-            batch = wavs[s:s + bs]
-            n = batch.shape[0]
+        for s in range(0, len(starts), bs):
+            bst, bln = starts[s:s + bs], lens[s:s + bs]
+            n = bst.shape[0]
             if n < bs:  # pad to the static batch size, drop extras after
-                batch = np.concatenate(
-                    [batch, np.zeros((bs - n, L), np.float32)], axis=0)
+                bst = np.concatenate([bst, np.zeros(bs - n, np.int32)])
+                bln = np.concatenate([bln, np.zeros(bs - n, np.int32)])
+            batch = gather(dev_wav, bst, bln, L)
             in_flight.append((n, self.embed_fn(batch)))
             if len(in_flight) > 1:
                 k, dev = in_flight.pop(0)
                 out.append(np.asarray(dev)[:k])
         for k, dev in in_flight:
             out.append(np.asarray(dev)[:k])
+        return np.concatenate(out, axis=0)
+
+    def _emb_extraction_host(self, bounds, wav_1d, L):
+        """Host slice/pad/stack path (pre-r5 semantics), kept as the no-jax
+        fallback; numerics are identical to the device gather."""
+        wavs = []
+        for st, ed in bounds:
+            piece = wav_1d[st:ed]
+            if piece.shape[0] == 0:
+                piece = np.zeros(1, dtype=np.float32)
+            wavs.append(circle_pad(piece, L))
+        wavs = np.stack(wavs).astype(np.float32)
+        out = []
+        bs = self.batch_size
+        for s in range(0, len(wavs), bs):
+            batch = wavs[s:s + bs]
+            n = batch.shape[0]
+            if n < bs:
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - n, L), np.float32)], axis=0)
+            out.append(np.asarray(self.embed_fn(batch))[:n])
         return np.concatenate(out, axis=0)
 
     def do_clustering(self, chunks, embeddings, speaker_num=None):

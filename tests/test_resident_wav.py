@@ -1,0 +1,124 @@
+"""Device-resident diarization audio (r5): the waveform uploads once and
+chunk slicing + circle-padding happen on device via an index gather.
+
+Pins (vs the host slice/pad/stack path, which is the reference semantics —
+bin/infer_diarization.py:621-639 + utils/utils.py:232-238):
+- int16 wire: PCM16-representable audio ships as int16 and the device
+  k/32768 reconstruction is BITWISE equal to the host float32 path;
+- float32 wire: arbitrary float audio falls back to float32 and stays
+  bitwise equal;
+- edge semantics: empty chunks -> zero rows, batch padding rows -> dropped,
+  over-length chunks (no_chunk bucket mode) -> truncation, leftovers ->
+  circle-pad, all identical to the host path.
+"""
+
+import numpy as np
+import pytest
+
+from speaker3d_tpu.diar.pipeline import (
+    WAV_SLAB, DiarizationPipeline, _gather_chunks_jit, _wire_quantize)
+
+FS = 16000
+
+
+def _identity_embed(wavs):
+    # embeddings ARE the chunk waveforms: any slicing/padding deviation
+    # from the host path shows up as a bitwise mismatch
+    return np.asarray(wavs)
+
+
+def _pcm16_wav(n, seed=0):
+    rng = np.random.default_rng(seed)
+    k = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    return (k.astype(np.float32) / 32768.0)
+
+
+def _pipe(**kw):
+    kw.setdefault("batch_size", 4)
+    return DiarizationPipeline(_identity_embed, **kw)
+
+
+def test_wire_quantize_pcm16_roundtrip():
+    w = _pcm16_wav(100000)
+    q = _wire_quantize(w)
+    assert q is not None and q.dtype == np.int16
+    assert np.array_equal(q.astype(np.float32) / 32768.0, w)
+
+
+def test_wire_quantize_rejects_floats():
+    w = (np.random.default_rng(0).standard_normal(100000) * 0.1
+         ).astype(np.float32)
+    assert _wire_quantize(w) is None
+    # prefix-exact but tail-inexact must be rejected (the full pass runs)
+    w2 = _pcm16_wav(100000)
+    w2[-1] = np.float32(0.123456)
+    assert _wire_quantize(w2) is None
+    # clipping-range violation rejected even if exactly k/32768
+    w3 = _pcm16_wav(100000)
+    w3[0] = np.float32(40000.0 / 32768.0)
+    assert _wire_quantize(w3) is None
+
+
+@pytest.mark.parametrize("wire", ["int16", "float32"])
+def test_device_gather_matches_host_bitwise(wire):
+    if wire == "int16":
+        wav = _pcm16_wav(int(7.3 * FS))
+    else:
+        wav = (np.random.default_rng(1).standard_normal(int(7.3 * FS)) * 0.1
+               ).astype(np.float32)
+    pipe = _pipe()
+    L = int(pipe.chunk_dur * FS)
+    # full windows, a short leftover (circle-pad), an empty chunk, and
+    # enough chunks to exercise batch padding
+    chunks = [[0.0, 1.5], [0.75, 2.25], [1.5, 3.0], [6.9, 7.3],
+              [2.0, 2.0], [3.0, 4.5], [4.0, 5.5]]
+    bounds = [(int(st * FS), int(ed * FS)) for st, ed in chunks]
+    dev = pipe.do_emb_extraction(chunks, wav)
+    host = pipe._emb_extraction_host(bounds, wav, L)
+    assert pipe.last_wire["dtype"] == wire
+    assert np.array_equal(dev, host), (
+        f"max diff {np.abs(dev - host).max()}")
+
+
+def test_device_gather_overlength_truncates_like_host():
+    # no_chunk_after_vad-style call: a 4 s segment buckets L up to 2*chunk
+    wav = _pcm16_wav(int(6.0 * FS), seed=2)
+    pipe = _pipe()
+    chunks = [[0.5, 4.5], [5.0, 5.6]]
+    bounds = [(int(st * FS), int(ed * FS)) for st, ed in chunks]
+    L = 3 * int(pipe.chunk_dur * FS)  # ceil(4s / 1.5s) * 1.5s = 4.5 s
+    dev = pipe.do_emb_extraction(chunks, wav)
+    host = pipe._emb_extraction_host(bounds, wav, L)
+    assert dev.shape == host.shape
+    assert np.array_equal(dev, host)
+
+
+def test_resident_upload_is_cached_per_object():
+    wav = _pcm16_wav(int(2.0 * FS), seed=3)
+    pipe = _pipe()
+    d1 = pipe._resident_wav(wav)
+    d2 = pipe._resident_wav(wav)
+    assert d1 is d2
+    d3 = pipe._resident_wav(wav.copy())
+    assert d3 is not d1
+
+
+def test_slab_padding_bounds_executable_count():
+    wav = _pcm16_wav(WAV_SLAB + 17, seed=4)
+    pipe = _pipe()
+    dev = pipe._resident_wav(wav)
+    assert dev.shape[0] == 2 * WAV_SLAB
+    assert pipe.last_wire == {"dtype": "int16", "bytes": 2 * WAV_SLAB * 2}
+
+
+def test_gather_kernel_direct_edges():
+    import jax.numpy as jnp
+
+    gather = _gather_chunks_jit()
+    wav = jnp.asarray(np.arange(32, dtype=np.float32))
+    starts = np.asarray([0, 4, 10], np.int32)
+    lens = np.asarray([3, 0, 8], np.int32)
+    out = np.asarray(gather(wav, starts, lens, 6))
+    assert np.array_equal(out[0], [0, 1, 2, 0, 1, 2])  # circle-pad
+    assert np.array_equal(out[1], np.zeros(6))          # empty -> zeros
+    assert np.array_equal(out[2], [10, 11, 12, 13, 14, 15])  # truncate-free

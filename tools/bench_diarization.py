@@ -37,7 +37,10 @@ def synth_conversation(minutes: float, fs: int = 16000, seed: int = 0):
                + 0.02 * rng.standard_normal(n))
         wav[t:end] = seg.astype(np.float32)
         t = end + int(rng.uniform(0.2, 1.0) * fs)  # pause
-    return wav
+    # quantize to the PCM16 grid: real sources are PCM16 wavs, and this
+    # lets the resident-wav upload take its production int16 wire path
+    return (np.clip(np.rint(wav * 32768.0), -32768, 32767)
+            .astype(np.float32) / 32768.0)
 
 
 def main():
@@ -89,7 +92,7 @@ def main():
               f"{len(fields)} segments, {spk} speakers, "
               f"{len(pipe.last_chunks)} chunks, "
               f"stages {stages} (host VAD share "
-              f"{100*host/elapsed:.0f}%)", flush=True)
+              f"{100*host/elapsed:.0f}%), wire {pipe.last_wire}", flush=True)
 
 
 if __name__ == "__main__":
