@@ -107,6 +107,8 @@ def main(argv=None):
     from speaker3d_tpu.utils.profiling import StepTracer
 
     shutdown = GracefulShutdown()
+    preempted = False  # collective poll() decision; the raw local
+    # flag can diverge across ranks (see preemption.finalize)
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
     from speaker3d_tpu.data.prefetch import device_prefetch
@@ -130,9 +132,10 @@ def main(argv=None):
             global_step += 1
             # keep the device scalar; per-step float() would sync the pipe
             losses.append(metrics["loss"])
-            if shutdown.requested:
+            if shutdown.poll():  # pod-aware: any rank's signal
+                preempted = True  # stops ALL ranks at this boundary
                 break
-        if shutdown.requested:
+        if preempted:
             if jax.process_index() == 0:
                 host = jax.tree_util.tree_map(np.asarray,
                                               jax.device_get(state))
@@ -152,7 +155,7 @@ def main(argv=None):
         if jax.process_index() == 0:
             ckpt.save_checkpoint(epoch + 1, {"asd_state": host})
     tracer.close()
-    shutdown.finalize()
+    shutdown.finalize(preempted)
 
 
 if __name__ == "__main__":

@@ -155,7 +155,15 @@ def main(argv=None):
     from speaker3d_tpu.utils.profiling import StepTracer
 
     shutdown = GracefulShutdown()
+    preempted = False  # collective poll() decision; the raw local
+    # flag can diverge across ranks (see preemption.finalize)
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
+    if cfg.epochs == 0 and recovered is None and jax.process_index() == 0:
+        # epochs: 0 -> snapshot the random-init teacher as CKPT-EPOCH-0 so
+        # extract_ssl can embed with it (the SSL learn-gate's baseline,
+        # tools/ssl_learn_probe.py)
+        ckpt.save_checkpoint(0, {"ssl_state": jax.tree_util.tree_map(
+            np.asarray, jax.device_get(state))})
     global_step = 0
     from speaker3d_tpu.data.prefetch import device_prefetch
     for epoch in range(start_epoch, cfg.epochs):
@@ -170,9 +178,10 @@ def main(argv=None):
             global_step += 1
             # keep device scalars; per-step float() would sync the pipeline
             metrics_acc.append(metrics)
-            if shutdown.requested:
+            if shutdown.poll():  # pod-aware: any rank's signal
+                preempted = True  # stops ALL ranks at this boundary
                 break
-        if shutdown.requested:
+        if preempted:
             if jax.process_index() == 0:
                 host = jax.tree_util.tree_map(np.asarray,
                                               jax.device_get(state))
@@ -194,7 +203,7 @@ def main(argv=None):
             ckpt.save_checkpoint(epoch + 1, {"ssl_state": host})
             print(f"epoch {epoch+1}: {avg}")
     tracer.close()
-    shutdown.finalize()
+    shutdown.finalize(preempted)
 
 
 if __name__ == "__main__":

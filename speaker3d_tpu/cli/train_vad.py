@@ -133,6 +133,8 @@ def main(argv=None):
     from speaker3d_tpu.utils.profiling import StepTracer
 
     shutdown = GracefulShutdown()
+    preempted = False  # collective poll() decision; the raw local
+    # flag can diverge across ranks (see preemption.finalize)
     tracer = StepTracer(args.profile_dir, num_steps=args.profile_steps)
     global_step = 0
     from speaker3d_tpu.data.prefetch import device_prefetch
@@ -146,7 +148,8 @@ def main(argv=None):
             state, metrics = train_step(state, batch)
             tracer.after_step(global_step, wait_for=metrics["loss"])
             global_step += 1
-            if shutdown.requested:
+            if shutdown.poll():  # pod-aware: any rank's signal
+                preempted = True  # stops ALL ranks at this boundary
                 break
             # keep device scalars; fetching floats every step would sync
             # the pipeline per step — convert only at log points
@@ -156,7 +159,7 @@ def main(argv=None):
                 print(f"epoch {epoch} step {i+1}/{step_per_epoch} "
                       f"loss {float(losses[-1]):.4f} acc {float(accs[-1]):.3f} "
                       f"lr {float(metrics['lr']):.6f}", flush=True)
-        if shutdown.requested:
+        if preempted:
             if jax.process_index() == 0:
                 host = jax.tree_util.tree_map(np.asarray,
                                               jax.device_get(state))
@@ -172,7 +175,7 @@ def main(argv=None):
             host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
             checkpointer.save_checkpoint(epoch, {"train_state": host})
     tracer.close()
-    shutdown.finalize()
+    shutdown.finalize(preempted)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,43 @@ class GracefulShutdown:
         print(f"[preemption] signal {sig} received: will checkpoint and "
               f"exit at the next step boundary", flush=True)
 
+    def poll(self) -> bool:
+        """Step-boundary check, POD-AWARE: returns True when ANY process of
+        the pod has received a signal, and latches `requested` on every
+        rank so the save/exit paths behave uniformly.
+
+        A preemption usually lands on ONE rank of a pod (the reference's
+        torchrun story simply dies and restarts, speakerlab/bin/
+        train.py:82-116); without agreement the surviving ranks would hang
+        in the next collective against a dead peer. Must be called at the
+        same step boundary on every process — it is itself a collective
+        when process_count > 1 (a [nproc] bool all-gather; zero overhead
+        single-process)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self.requested
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        # Snapshot the flag BEFORE the collective and return the COLLECTIVE
+        # decision, never the live flag: a signal delivered between the
+        # all-gather and the return would otherwise make this rank break
+        # while its peers (who saw the pre-signal False) continue — the
+        # ranks then deadlock pairing a poll against an exit barrier
+        # (measured: tests/test_multihost.py kill-one leg). A late signal
+        # is simply picked up by the next poll.
+        local = bool(self.requested)
+        flags = multihost_utils.process_allgather(
+            np.asarray([local], dtype=np.bool_))
+        decision = bool(np.any(flags))
+        if decision and not local:
+            print("[preemption] peer rank requested shutdown: joining at "
+                  "this step boundary", flush=True)
+        if decision:
+            self.requested = True
+        return decision
+
     def restore(self):
         for sig, prev in self._previous.items():
             try:
@@ -49,7 +86,7 @@ class GracefulShutdown:
             except (ValueError, OSError):
                 pass
 
-    def finalize(self):
+    def finalize(self, preempted=None):
         """restore(); then, if a preemption was handled, exit the process
         WITHOUT running interpreter/PJRT teardown.
 
@@ -58,12 +95,39 @@ class GracefulShutdown:
         checkpoint is durably on disk (measured r4, tools/soak_train.py
         phase 1: rc=-6 with a valid checkpoint). The checkpoint is the
         recovery contract; os._exit(0) makes the exit code honest too.
-        No-op when no signal was received (in-process callers unaffected)."""
+        No-op when no signal was received (in-process callers unaffected).
+
+        ``preempted``: on a multi-process pod, pass the COLLECTIVE decision
+        from poll() — every rank must take the same exit path, and the raw
+        local flag can diverge (a signal landing after a rank's last poll
+        would make it os._exit while its peers continue into a collective
+        against a dead task — measured as a coordination-service fatal in
+        tests/test_multihost.py). Single-process keeps the local-flag
+        behavior regardless."""
         self.restore()
-        if self.requested:
+        import jax
+
+        if preempted is None or jax.process_count() == 1:
+            preempted = self.requested
+        if preempted:
             import os
             import sys
 
+            if jax.process_count() > 1:
+                # exit barrier: a rank must not die while a peer is still
+                # finishing its side of the last collective or writing the
+                # preemption checkpoint (rank 0 saves between the final
+                # poll() and this point). Without it the surviving rank
+                # reads a reset Gloo socket mid-allgather (measured:
+                # tests/test_multihost.py kill-one leg). Best-effort: if a
+                # peer died hard anyway, still exit.
+                try:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices("preemption_exit")
+                except Exception as e:  # noqa: BLE001
+                    print(f"[preemption] exit barrier failed ({e}); "
+                          f"exiting anyway", flush=True)
             sys.stdout.flush()
             sys.stderr.flush()
             os._exit(0)

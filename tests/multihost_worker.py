@@ -14,8 +14,12 @@ Tasks:
   extract_cli <args...>  — run the real cli.extract main().
 """
 
+import faulthandler
 import os
+import signal as _signal
 import sys
+
+faulthandler.register(_signal.SIGUSR1)  # stack dump for hang debugging
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
