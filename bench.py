@@ -208,6 +208,72 @@ def main():
         print(f"diarization bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
 
+    # --- multi-model serving line (VERDICT r4 item 6): guard the zoo's
+    # serving table (docs/BENCH.md), not just the flagship. Same in-jit
+    # methodology; vs_baseline = worst-case ratio vs the docs values, so a
+    # regression in ANY of the three is driver-visible. Guarded: a failure
+    # must not void the lines already printed.
+    try:
+        from tools.bench_serving import build_model
+
+        DOC_SERVING = {"campplus": 42248.0, "ecapa": 55401.0,
+                       "resnet34": 23821.0}
+        per_model = {}
+        for name in DOC_SERVING:
+            m = build_model(name)
+            v = jax.jit(m.init)(jax.random.PRNGKey(0), feats0)
+            v16 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, v)
+
+            @jax.jit
+            def run_m(w, m=m, v16=v16):
+                def body(i, acc):
+                    wi = w * (1.0 + i.astype(jnp.float32) * 1e-6)
+                    emb = m.apply(v16, fbank(wi).astype(jnp.bfloat16))
+                    return acc + jnp.sum(jnp.square(
+                        emb.astype(jnp.float32)))
+                return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+            _ = float(run_m(wavs))  # compile + warm
+            t0 = time.perf_counter()
+            c = float(run_m(wavs))
+            dt = time.perf_counter() - t0
+            assert np.isfinite(c)
+            per_model[name] = round(BATCH * SEG_SECONDS * ITERS / dt, 1)
+        print(json.dumps({
+            "metric": "multi_model_serving_throughput",
+            "value": per_model,
+            "unit": "audio-seconds/s/chip",
+            "vs_baseline": round(min(per_model[k] / DOC_SERVING[k]
+                                     for k in per_model), 3),
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        print(f"multi-model bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+
+    # --- SSL train line (VERDICT r4 item 6): SDPN in-jit step throughput,
+    # guarding the docs/BENCH.md SSL table (6,926 audio-s/s @ B=64).
+    try:
+        from tools.bench_train_ssl import bench_ssl
+
+        res = bench_ssl("sdpn", 64)
+        print(json.dumps({
+            "metric": "ssl_train_throughput",
+            "value": res["value"],
+            "unit": "audio-seconds/s/chip",
+            "vs_baseline": round(res["value"] / 6926.0, 3),
+            "variant": res["variant"], "batch": res["batch"],
+            "mode": res["mode"],
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        print(f"ssl train bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+
     # --- training line (B=128 bf16, the throughput-optimal single-chip
     # config per docs/BENCH.md; fwd+bwd remote compile can take ~10 min
     # cold, see CLAUDE.md). Guarded: a failure here must not void the

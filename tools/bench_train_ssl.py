@@ -28,10 +28,8 @@ GLB_SECONDS, LOC_SECONDS = 4.0, 2.0
 FS = 16000
 
 
-def main():
-    variant = sys.argv[1] if len(sys.argv) > 1 else "rdino"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-
+def bench_ssl(variant: str = "rdino", batch: int = 64,
+              sequential: bool = False) -> dict:
     import jax
 
     from speaker3d_tpu.cli.train_ssl import build_ssl_model
@@ -73,7 +71,6 @@ def main():
                  else make_sdpn_train_step)
     step_fn = make_step(model, cfg, mesh, host, feature_fn=melspec)
 
-    sequential = len(sys.argv) > 3 and sys.argv[3] == "seq"
     if sequential:
         batch_d = {"global_wavs": glb, "local_wavs": loc}
         state, metrics = step_fn(state, batch_d)            # compile
@@ -110,14 +107,21 @@ def main():
         assert np.isfinite(checksum)
 
     audio_s = batch * (glb_num * GLB_SECONDS + local_num * LOC_SECONDS)
-    print(json.dumps({
+    return {
         "metric": "ssl_train_throughput", "variant": variant,
         "batch": batch, "steps": STEPS,
         "mode": "sequential" if sequential else "in-jit",
         "value": round(audio_s * STEPS / elapsed, 1),
         "unit": "audio-seconds/s/chip",
         "utts_per_s": round(batch * STEPS / elapsed, 1),
-    }))
+    }
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "rdino"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    sequential = len(sys.argv) > 3 and sys.argv[3] == "seq"
+    print(json.dumps(bench_ssl(variant, batch, sequential)))
 
 
 if __name__ == "__main__":  # exec(open(...)) in `python -c` hits this too
