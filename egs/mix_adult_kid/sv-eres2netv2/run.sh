@@ -16,9 +16,13 @@ fi
 stage=${STAGE:-1}; stop_stage=${STOP_STAGE:-4}
 data_csv=${DATA_CSV:-data/train_mix.csv}      # ID,wav,spk over both corpora
 base_exp=${BASE_EXP:-exp/eres2netv2_base}     # pretrained base experiment
+# the fork's production diarization embedder is w24s4ep4; point CONFIG at
+# configs/eres2netv2_w24s4ep4.yaml to fine-tune it (measured training
+# settings inside; default stays the 17.8M flagship)
+config=${CONFIG:-$REPO_ROOT/configs/eres2netv2.yaml}
 exp_dir=exp/eres2netv2_mix
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
-  python -m speaker3d_tpu.cli.train --config "$REPO_ROOT/configs/eres2netv2.yaml" \
+  python -m speaker3d_tpu.cli.train --config "$config" \
     --data="$data_csv" --exp_dir=$exp_dir --init_exp_dir="$base_exp" \
     --num_epoch=10 --max_lr=0.0001 --min_lr=0.00001
 fi

@@ -175,6 +175,7 @@ class DiarizationPipeline:
                  chunk_dur: float = 1.5,
                  chunk_step: float = 0.75,
                  batch_size: int = 64,
+                 dispatch_depth: int = 4,
                  segmentation_model=None,
                  segmentation_threshold: float = 0.5):
         self.embed_fn = embed_fn
@@ -191,6 +192,7 @@ class DiarizationPipeline:
         self.chunk_dur = chunk_dur
         self.chunk_step = chunk_step
         self.batch_size = batch_size
+        self.dispatch_depth = max(2, int(dispatch_depth))
         self.segmentation_model = segmentation_model
         self.segmentation_threshold = segmentation_threshold
 
@@ -287,7 +289,12 @@ class DiarizationPipeline:
 
         out = []
         bs = self.batch_size
-        in_flight = []  # double-buffered async dispatch (see cli/extract.py)
+        # async dispatch pipeline: keep several batches in flight so the
+        # per-dispatch tunnel latency (O(100 ms) on this harness) overlaps
+        # device compute instead of serializing with it; the result fetch
+        # is tiny ([bs, D] embeddings)
+        depth = self.dispatch_depth
+        in_flight = []
         for s in range(0, len(starts), bs):
             bst, bln = starts[s:s + bs], lens[s:s + bs]
             n = bst.shape[0]
@@ -296,7 +303,7 @@ class DiarizationPipeline:
                 bln = np.concatenate([bln, np.zeros(bs - n, np.int32)])
             batch = gather(dev_wav, bst, bln, L)
             in_flight.append((n, self.embed_fn(batch)))
-            if len(in_flight) > 1:
+            if len(in_flight) >= depth:
                 k, dev = in_flight.pop(0)
                 out.append(np.asarray(dev)[:k])
         for k, dev in in_flight:

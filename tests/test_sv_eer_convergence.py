@@ -15,11 +15,17 @@ CANNOT discharge this gate at toy scale: its TSTP-pooled embedding carries
 a dominant shared direction that pins all pairwise cosines at ~1.0 in
 float32 even at train accuracy 1.0 (12 ep: closed-set EER 0.33 / open-set
 0.45; 24 ep: 0.53 / 0.50 — MORE training deepens the collapse; embedding
-mean subtraction does not recover it). The flagship architecture's
-correctness is gated elsewhere (weight-for-weight torch parity +
-trained-model pipeline equivalence); learning-at-scale is what this file
-pins, on the backbone that can express it. Numbers recorded in
-docs/PARITY.md ("SV EER convergence" row).
+mean subtraction does not recover it). r5 closed the loop on the other
+side: the REFERENCE'S OWN torch trainer (speakerlab ERes2NetV2 +
+ArcMarginLoss + schedulers, bin/train.py loop semantics) collapses
+identically on the same corpus — within-minus-cross cosine gap 0.0006
+(m16) / 0.0007 (m32); tools/ref_collapse_check.py, docs/PARITY.md. The
+collapse is an architecture-at-toy-scale property, not a bug in our
+train path. The flagship architecture's correctness is gated elsewhere
+(weight-for-weight torch parity + trained-model pipeline equivalence);
+learning-at-scale is what this file pins, on the backbone that can
+express it. Numbers recorded in docs/PARITY.md ("SV EER convergence"
+row).
 """
 
 import os

@@ -105,9 +105,12 @@ def main():
                "LM-finetune no-regress <= base + 5% abs (chance 50%). "
                "Caveat: the gate trains Xvector, NOT the flagship — tiny "
                "ERes2NetV2 provably collapses emb cosines at toy scale "
-               "(measured r3, CLAUDE.md); flagship convergence is instead "
+               "(measured r3; r5: the REFERENCE'S OWN torch trainer "
+               "collapses identically on the same corpus, within-cross "
+               "gap 0.0006/0.0007 at m16/m32 — tools/ref_collapse_check.py"
+               ", docs/PARITY.md); flagship convergence is instead "
                "gated by torch parity + trained-model pipeline "
-               "equivalence, an accepted in-container residual risk"))
+               "equivalence"))
 
     width = max(len(r[0]) for r in rows)
     print("BASELINE gate status")
