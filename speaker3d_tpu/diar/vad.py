@@ -206,6 +206,45 @@ def frame_energy_envelope(audio, sample_rate: int):
     return env
 
 
+def _sorted_env_percentile(env, s, e, ends_last, p):
+    """``np.percentile(env[s:e], p)`` in O(1).
+
+    Valid only for envelopes from `frame_energy_envelope` with
+    window >= hop: there env is NON-DECREASING on [0, ends_last) (it
+    repeats cummax'd frame energies) and zero after, so the sorted
+    segment is [zeros...] + env[s:min(e, ends_last)] and the two order
+    statistics the linear method interpolates are direct lookups. The
+    interpolation replicates numpy's _lerp exactly (both t<0.5 and
+    t>=0.5 branches) so results are bitwise np.percentile's — the
+    per-segment percentile was the diarization host chain's top cost
+    (3.3 s of a 5.1 s 90-min pass, tools/profile_vad.py)."""
+    n = e - s
+    body_end = min(e, ends_last)
+    z = e - body_end if body_end > s else n  # zeros sort first
+
+    # replicate np.percentile's dtype path exactly: for float input the
+    # quantile, virtual index, and gamma are all computed in the ARRAY's
+    # dtype (numpy: q = true_divide(q, a.dtype.type(100)); linear's
+    # get_virtual_index = (n-1)*q; _get_gamma casts to virtual's dtype),
+    # and _lerp runs in that dtype with a branch at gamma >= 0.5
+    ft = env.dtype.type if env.dtype.kind == "f" else np.float64
+    virtual = ft(n - 1) * np.true_divide(p, ft(100))
+    i0 = int(np.floor(virtual))
+    t = virtual - ft(i0)
+
+    def val(i):
+        if i < z:
+            return ft(0)
+        return env[s + (i - z)]
+
+    a = val(i0)
+    b = val(min(i0 + 1, n - 1))
+    diff = b - a
+    if t >= 0.5:
+        return b - diff * (ft(1) - t)
+    return a + diff * t
+
+
 def refine_vad_boundaries_with_energy(audio, vad_mask, sample_rate: int,
                                       energy_threshold: float = 0.05,
                                       energy_percentile: float = 10.0,
@@ -222,6 +261,13 @@ def refine_vad_boundaries_with_energy(audio, vad_mask, sample_rate: int,
     if len(starts) == 0:
         return refined
 
+    # fast-percentile precondition (the 20 ms / 10 ms case): env is
+    # cummax-monotone up to the last frame's end, zero after
+    window = int(0.02 * sample_rate)
+    n_frames = (len(audio) - window) // hop + 1
+    ends_last = (n_frames - 1) * hop + window if (
+        n_frames > 0 and window >= hop) else None
+
     lookahead = 10 * hop
     expand = int(boundary_expansion_ms * sample_rate / 1000.0)
 
@@ -229,7 +275,12 @@ def refine_vad_boundaries_with_energy(audio, vad_mask, sample_rate: int,
         seg = env[start:end]
         if seg.size == 0:
             continue
-        thr = max(np.percentile(seg, energy_percentile), energy_threshold)
+        if ends_last is not None:
+            pct = _sorted_env_percentile(env, start, end, ends_last,
+                                         energy_percentile)
+        else:
+            pct = np.percentile(seg, energy_percentile)
+        thr = max(pct, energy_threshold)
 
         new_start = start
         head = env[start:min(end, start + lookahead)]

@@ -188,3 +188,42 @@ def test_flags_to_mask_matches_loop_oracle():
                 break
             want[s:e] = flag
         assert np.array_equal(got, want)
+
+
+def test_sorted_env_percentile_bitwise_matches_numpy():
+    """The O(1) per-segment percentile (cummax-monotone envelope + zero
+    tail) must be BITWISE np.percentile — it feeds the energy-refinement
+    threshold whose comparisons decide refined VAD boundaries (r5; a
+    10k-case fuzz over two seeds measured 0 mismatches, including this
+    numpy's float32 quantile-index path)."""
+    from speaker3d_tpu.diar.vad import (
+        _sorted_env_percentile,
+        frame_energy_envelope,
+    )
+
+    rng = np.random.default_rng(12)
+    checked = 0
+    for trial in range(60):
+        n = int(rng.integers(500, 60000))
+        audio = (rng.standard_normal(n) * rng.uniform(0.001, 0.5)
+                 ).astype(np.float32)
+        if trial % 3 == 0:
+            audio[: rng.integers(0, max(1, n // 2))] = 0
+        if trial % 7 == 0:
+            audio[-rng.integers(1, max(2, n // 3)):] = 0
+        env = frame_energy_envelope(audio, 16000)
+        window, hop = 320, 160
+        n_frames = (n - window) // hop + 1
+        if n_frames <= 0:
+            continue
+        ends_last = (n_frames - 1) * hop + window
+        for _ in range(20):
+            s = int(rng.integers(0, n - 2))
+            e = int(rng.integers(s + 1, n))
+            p = float(rng.choice([10.0, 5.0, 25.0, 50.0, 75.0, 90.0,
+                                  0.0, 100.0]))
+            ref = np.percentile(env[s:e], p)
+            fast = _sorted_env_percentile(env, s, e, ends_last, p)
+            assert ref == fast and type(ref) is type(fast), (s, e, p)
+            checked += 1
+    assert checked > 500
