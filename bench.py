@@ -216,15 +216,21 @@ def main():
     try:
         from tools.bench_serving import build_model
 
-        DOC_SERVING = {"campplus": 42248.0, "ecapa": 55401.0,
-                       "resnet34": 23821.0}
+        # (doc value, batch it was measured at): small models keep scaling
+        # past B=128 — CAM++ measures 29.6k at B=128 vs 42.7k at B=256
+        # (r5), so each model benches at its documented batch
+        DOC_SERVING = {"campplus": (42248.0, 256),
+                       "ecapa": (55401.0, 128),
+                       "resnet34": (23821.0, 128)}
         per_model = {}
-        for name in DOC_SERVING:
+        for name, (_doc, mb) in DOC_SERVING.items():
             m = build_model(name)
             v = jax.jit(m.init)(jax.random.PRNGKey(0), feats0)
             v16 = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, v)
+            w_in = (jnp.concatenate([wavs, wavs]) if mb == 2 * BATCH
+                    else wavs[:mb])
 
             @jax.jit
             def run_m(w, m=m, v16=v16):
@@ -235,17 +241,17 @@ def main():
                         emb.astype(jnp.float32)))
                 return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
-            _ = float(run_m(wavs))  # compile + warm
+            _ = float(run_m(w_in))  # compile + warm
             t0 = time.perf_counter()
-            c = float(run_m(wavs))
+            c = float(run_m(w_in))
             dt = time.perf_counter() - t0
             assert np.isfinite(c)
-            per_model[name] = round(BATCH * SEG_SECONDS * ITERS / dt, 1)
+            per_model[name] = round(mb * SEG_SECONDS * ITERS / dt, 1)
         print(json.dumps({
             "metric": "multi_model_serving_throughput",
             "value": per_model,
             "unit": "audio-seconds/s/chip",
-            "vs_baseline": round(min(per_model[k] / DOC_SERVING[k]
+            "vs_baseline": round(min(per_model[k] / DOC_SERVING[k][0]
                                      for k in per_model), 3),
         }), flush=True)
     except Exception as e:  # noqa: BLE001
