@@ -211,7 +211,8 @@ class DiarizationPipeline:
         self.last_vad_time_raw = None
         self.last_vad_time_processed = None
         self.last_vad_refined_mask = None
-        self.last_vad_masked_audio = None
+        self._masked_audio_parts = None
+        self._masked_audio_cache = None
         self.last_chunks = None
         self.last_embeddings = None
         self.last_elapsed = None
@@ -222,6 +223,20 @@ class DiarizationPipeline:
         # [segmentation,] embed, cluster[, overlap_post] — the fork's RTF
         # sidecar (.meta.json) broken down so host/device share is visible
         self.last_stage_times = {}
+
+    @property
+    def last_vad_masked_audio(self):
+        """[1, n] waveform with non-speech zeroed (the .vad_masked.wav
+        sidecar), computed lazily on first access."""
+        if self._masked_audio_cache is None and self._masked_audio_parts:
+            wav_1d, refined_mask = self._masked_audio_parts
+            self._masked_audio_cache = (wav_1d * refined_mask)[None]
+        return self._masked_audio_cache
+
+    @last_vad_masked_audio.setter
+    def last_vad_masked_audio(self, value):
+        self._masked_audio_cache = value
+        self._masked_audio_parts = None
 
     # ---- stages ------------------------------------------------------------
 
@@ -347,6 +362,17 @@ class DiarizationPipeline:
         wav_data = load_audio(wav, wav_fs, self.fs)
         wav_1d = np.asarray(wav_data)[0]
 
+        # start the resident-wav upload NOW: device_put is asynchronous, so
+        # the host->device transfer (~4.5 s for 90 min int16 on a median
+        # tunnel) overlaps the host VAD stages instead of serializing into
+        # the embed stage. Only the host-side quantize/pad cost lands here.
+        t = time.time()
+        try:
+            self._resident_wav(wav_1d)
+        except ImportError:
+            pass  # no jax: the host fallback path needs no upload
+        stages["upload_issue"] = time.time() - t
+
         t = time.time()
         flags, wav_for_vad = self.do_vad(wav_1d)
         stages["vad"] = time.time() - t
@@ -379,7 +405,11 @@ class DiarizationPipeline:
                       for c in sliding_chunks(st, ed, self.chunk_dur,
                                               self.chunk_step)]
         self.last_vad_time = vad_time
-        self.last_vad_masked_audio = (wav_1d * refined_mask)[None]
+        # sidecar-only product: computed lazily by the property (an eager
+        # 86 M-sample multiply cost ~0.3 s of hour-scale wall when no
+        # sidecar was requested)
+        self._masked_audio_parts = (wav_1d, refined_mask)
+        self._masked_audio_cache = None
         self.last_chunks = chunks
 
         if len(chunks) == 0:

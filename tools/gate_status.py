@@ -111,6 +111,13 @@ def main():
                ", docs/PARITY.md); flagship convergence is instead "
                "gated by torch parity + trained-model pipeline "
                "equivalence"))
+    rows.append((
+        "ssl-learning (trained teacher beats random-init baseline)",
+        GREEN, "tests/test_ssl_eer_convergence.py — SDPN via real "
+               "train_ssl/extract_ssl CLIs: closed-set EER 0.375 init -> "
+               "0.23-0.24 trained (gate: improvement >= 0.04, absolute "
+               "<= 0.34; corpus/momentum design notes in "
+               "tools/ssl_learn_probe.py)"))
 
     width = max(len(r[0]) for r in rows)
     print("BASELINE gate status")
