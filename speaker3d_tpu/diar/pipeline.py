@@ -255,14 +255,18 @@ class DiarizationPipeline:
         vad_time = vad_mod.mask_to_intervals(refined_mask, self.fs)
         return processed_mask, refined_mask, vad_time
 
-    def _resident_wav(self, wav_1d):
-        """Upload the file's waveform ONCE (int16 wire when every sample is
-        exactly k/32768 — bitwise-exact device reconstruction — else
-        float32), padded to a WAV_SLAB multiple for a bounded executable
-        count. Cached per wav object so save_pairs reuses the upload."""
+    def _issue_resident_wav(self, wav_1d):
+        """Start the one-per-file waveform upload (int16 wire when every
+        sample is exactly k/32768 — bitwise-exact device reconstruction —
+        else float32), padded to a WAV_SLAB multiple for a bounded
+        executable count. The device_put runs on a background thread: on
+        this harness the call itself blocks for the transfer (~5 s for
+        90 min int16), so issuing inline would serialize it with host VAD
+        instead of overlapping. Cached per wav object so save_pairs reuses
+        the upload."""
         cached = getattr(self, "_resident_cache", None)
         if cached is not None and cached[0] is wav_1d:
-            return cached[1]
+            return
         import jax
 
         w16 = _wire_quantize(wav_1d)
@@ -271,10 +275,21 @@ class DiarizationPipeline:
         pad = (-len(host)) % WAV_SLAB
         if pad:
             host = np.concatenate([host, np.zeros(pad, host.dtype)])
-        dev = jax.device_put(host)
         self.last_wire = {"dtype": str(host.dtype), "bytes": host.nbytes}
-        self._resident_cache = (wav_1d, dev)
-        return dev
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = getattr(self, "_upload_pool", None)
+        if pool is None:
+            pool = self._upload_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="resident_wav")
+        self._resident_cache = (wav_1d, pool.submit(jax.device_put, host))
+
+    def _resident_wav(self, wav_1d):
+        """Device-resident waveform for `wav_1d` (issues the upload if the
+        early issue in __call__ did not run, e.g. direct
+        do_emb_extraction/save_pairs callers)."""
+        self._issue_resident_wav(wav_1d)
+        return self._resident_cache[1].result()
 
     def do_emb_extraction(self, chunks: Sequence[Sequence[float]], wav_1d):
         """Embed chunks from the device-resident waveform: slicing and
@@ -362,13 +377,13 @@ class DiarizationPipeline:
         wav_data = load_audio(wav, wav_fs, self.fs)
         wav_1d = np.asarray(wav_data)[0]
 
-        # start the resident-wav upload NOW: device_put is asynchronous, so
-        # the host->device transfer (~4.5 s for 90 min int16 on a median
-        # tunnel) overlaps the host VAD stages instead of serializing into
-        # the embed stage. Only the host-side quantize/pad cost lands here.
+        # start the resident-wav upload NOW on a background thread, so the
+        # host->device transfer (~5 s for 90 min int16 on a median tunnel)
+        # overlaps the host VAD stages instead of serializing into the
+        # embed stage. Only the host-side quantize/pad cost lands here.
         t = time.time()
         try:
-            self._resident_wav(wav_1d)
+            self._issue_resident_wav(wav_1d)
         except ImportError:
             pass  # no jax: the host fallback path needs no upload
         stages["upload_issue"] = time.time() - t
