@@ -267,22 +267,26 @@ class DiarizationPipeline:
         cached = getattr(self, "_resident_cache", None)
         if cached is not None and cached[0] is wav_1d:
             return
-        import jax
-
-        w16 = _wire_quantize(wav_1d)
-        host = w16 if w16 is not None else np.ascontiguousarray(
-            wav_1d, dtype=np.float32)
-        pad = (-len(host)) % WAV_SLAB
-        if pad:
-            host = np.concatenate([host, np.zeros(pad, host.dtype)])
-        self.last_wire = {"dtype": str(host.dtype), "bytes": host.nbytes}
+        import jax  # noqa: F401  (probe: raise ImportError before spawning)
         from concurrent.futures import ThreadPoolExecutor
+
+        def quantize_pad_upload():
+            import jax
+
+            w16 = _wire_quantize(wav_1d)
+            host = w16 if w16 is not None else np.ascontiguousarray(
+                wav_1d, dtype=np.float32)
+            pad = (-len(host)) % WAV_SLAB
+            if pad:
+                host = np.concatenate([host, np.zeros(pad, host.dtype)])
+            self.last_wire = {"dtype": str(host.dtype), "bytes": host.nbytes}
+            return jax.device_put(host)
 
         pool = getattr(self, "_upload_pool", None)
         if pool is None:
             pool = self._upload_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="resident_wav")
-        self._resident_cache = (wav_1d, pool.submit(jax.device_put, host))
+        self._resident_cache = (wav_1d, pool.submit(quantize_pad_upload))
 
     def _resident_wav(self, wav_1d):
         """Device-resident waveform for `wav_1d` (issues the upload if the
