@@ -231,6 +231,9 @@ def main():
                 if x.dtype == jnp.float32 else x, v)
             w_in = (jnp.concatenate([wavs, wavs]) if mb == 2 * BATCH
                     else wavs[:mb])
+            assert w_in.shape[0] == mb, (
+                f"{name}: batch {w_in.shape[0]} != documented {mb} — "
+                f"throughput would mis-scale")
 
             @jax.jit
             def run_m(w, m=m, v16=v16):

@@ -233,21 +233,25 @@ def main(argv=None):
         print(f"{base}: {len(fields)} segments, "
               f"{len({f[2] for f in fields})} speakers -> {out_file}")
         if args.sidecar:
-            wav = load_audio(wav_path, obj_fs=16000)
+            # the pipeline's own waveform object: same audio as a fresh
+            # load_audio, but identity-keyed reuse of the resident upload —
+            # a re-decoded array would re-quantize and re-upload the whole
+            # file for the .pairs.json re-embedding
+            wav_1d = pipe.last_wav_1d
             pipe.save_vad_info(os.path.join(args.out_dir,
                                             f"{base}.vad_info.json"))
             # pairs BEFORE meta: meta carries the pairwise min/mean stats
             # (reference: bin/infer_diarization.py:1031-1051)
             pipe.save_pairs(os.path.join(args.out_dir, f"{base}.pairs.json"),
-                            wav_1d=wav[0])
+                            wav_1d=wav_1d)
             pipe.save_meta(os.path.join(args.out_dir, f"{base}.meta.json"),
-                           wav.shape[-1] / 16000.0, wav_path=wav_path)
+                           wav_1d.shape[-1] / 16000.0, wav_path=wav_path)
             if pipe.last_vad_masked_audio is not None:
                 write_wav(os.path.join(args.out_dir, f"{base}.vad_masked.wav"),
                           pipe.last_vad_masked_audio, 16000)
             try:
                 pipe.save_vad_plot(os.path.join(args.out_dir, f"{base}.vad.png"),
-                                   wav_1d=wav[0])
+                                   wav_1d=wav_1d)
             except Exception as e:  # plotting is best-effort (fork behavior)
                 print(f"[WARNING] vad plot failed: {e}")
 

@@ -83,14 +83,19 @@ def _wire_quantize(wav_1d: np.ndarray):
     prefix check short-circuits the common non-PCM case cheaply."""
     if wav_1d.size == 0:
         return None
-    r = None
-    for sl in (slice(0, 65536), slice(None)):
-        x = wav_1d[sl] * np.float32(32768.0)
+    # blockwise: bounded temporaries (this runs on the upload worker thread
+    # concurrently with host VAD on a 2-core box) and the first block acts
+    # as the cheap short-circuit for non-PCM sources
+    out = np.empty(wav_1d.shape[0], np.int16)
+    block = 1 << 22
+    for s in range(0, wav_1d.shape[0], block):
+        x = wav_1d[s:s + block] * np.float32(32768.0)
         r = np.rint(x)
         if not (np.array_equal(r, x) and r.min() >= -32768.0
                 and r.max() <= 32767.0):
             return None
-    return r.astype(np.int16)
+        out[s:s + block] = r.astype(np.int16)
+    return out
 
 
 def circle_pad(x: np.ndarray, target_len: int) -> np.ndarray:
@@ -214,6 +219,7 @@ class DiarizationPipeline:
         self._masked_audio_parts = None
         self._masked_audio_cache = None
         self.last_chunks = None
+        self.last_wav_1d = None
         self.last_embeddings = None
         self.last_elapsed = None
         # wire diagnostics from the last upload: {'dtype', 'bytes'} — int16
@@ -380,6 +386,11 @@ class DiarizationPipeline:
         stages = self.last_stage_times = {}
         wav_data = load_audio(wav, wav_fs, self.fs)
         wav_1d = np.asarray(wav_data)[0]
+        # the exact audio this call processed: sidecar writers (save_pairs,
+        # save_vad_plot, .vad_masked.wav) should use THIS object so the
+        # identity-keyed resident upload is reused instead of re-decoding
+        # and re-uploading the file
+        self.last_wav_1d = wav_1d
 
         # start the resident-wav upload NOW on a background thread, so the
         # host->device transfer (~5 s for 90 min int16 on a median tunnel)

@@ -218,6 +218,8 @@ def _sorted_env_percentile(env, s, e, ends_last, p):
     t>=0.5 branches) so results are bitwise np.percentile's — the
     per-segment percentile was the diarization host chain's top cost
     (3.3 s of a 5.1 s 90-min pass, tools/profile_vad.py)."""
+    if not 0.0 <= p <= 100.0:  # np.percentile's validation, kept loud
+        raise ValueError("Percentiles must be in the range [0, 100]")
     n = e - s
     body_end = min(e, ends_last)
     z = e - body_end if body_end > s else n  # zeros sort first

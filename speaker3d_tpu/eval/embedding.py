@@ -95,6 +95,9 @@ def build_sharded_embedding_fn(model, variables, mesh, *,
     def run(wavs):
         assert wavs.shape[0] % n_data == 0, (
             f"batch {wavs.shape[0]} not divisible by data axis {n_data}")
-        return embed(jax.device_put(jnp.asarray(wavs), batch_sharding))
+        # device_put directly (no jnp.asarray): accepts host numpy AND the
+        # diarization pipeline's device-resident chunk batches without an
+        # extra default-device hop or a host round-trip
+        return embed(jax.device_put(wavs, batch_sharding))
 
     return run

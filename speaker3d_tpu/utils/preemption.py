@@ -24,8 +24,13 @@ class GracefulShutdown:
     ...     if shutdown.requested: break
     """
 
-    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT),
+                 poll_interval: int = 8):
         self.requested = False
+        # multi-process: how many poll() calls between collective
+        # all-gathers (1 = every step); see poll()
+        self.poll_interval = max(1, int(poll_interval))
+        self._preempted = False  # last COLLECTIVE decision (multi-process)
         self._previous = {}
         for sig in signals:
             try:
@@ -58,6 +63,16 @@ class GracefulShutdown:
 
         if jax.process_count() == 1:
             return self.requested
+        # Keep the collective off the per-step critical path: a blocking
+        # host fetch every step would serialize the async dispatch
+        # pipeline the train loops protect. All ranks call poll() once per
+        # step, so the call counters stay in phase and the all-gather runs
+        # on the same step everywhere; detection lags a signal by at most
+        # poll_interval steps. Skipped calls return the last COLLECTIVE
+        # decision (never the local flag — see below).
+        self._poll_calls = getattr(self, "_poll_calls", -1) + 1
+        if self._poll_calls % self.poll_interval:
+            return self._preempted
         import numpy as np
         from jax.experimental import multihost_utils
 
@@ -77,6 +92,7 @@ class GracefulShutdown:
                   "this step boundary", flush=True)
         if decision:
             self.requested = True
+        self._preempted = decision
         return decision
 
     def restore(self):

@@ -261,7 +261,11 @@ def test_two_process_train_and_extract_cli(tmp_path):
                                    err_msg=key)
 
 
-def _kill_resume_config(root, csv_path, num_epoch=40):
+def _kill_resume_config(root, csv_path, num_epoch=100):
+    # num_epoch is headroom, not workload: the run is killed around epoch
+    # 3 and the resume finishes the rest; 100 tiny epochs keep the
+    # interrupt window wide even on a fast warm-cache machine (collective
+    # preemption detection lags the signal by up to poll_interval steps)
     exp_dir = os.path.join(root, "exp_kr")
     config = {
         "exp_dir": exp_dir, "data": csv_path, "sample_rate": 16000,
