@@ -28,6 +28,7 @@ import numpy as np
 from speaker3d_tpu.diar.pipeline import circle_pad
 from speaker3d_tpu.eval.scoring import save_embeddings
 from speaker3d_tpu.utils.fileio import load_audio, load_wav_scp
+from speaker3d_tpu.utils.wire import wire_quantize
 
 CHUNK_SECONDS = 10.0
 MAX_SECONDS = 90.0
@@ -121,7 +122,13 @@ def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
             if n < batch_size:
                 wavs = np.concatenate(
                     [wavs, np.zeros((batch_size - n, blen), np.float32)])
-            in_flight.append((list(buf), embed_fn(wavs)))
+            # PCM16 wire (r5): when every sample in the batch is exactly
+            # k/32768 the device reconstruction is bitwise identical and
+            # the upload halves (utils/wire.py; embed_fn converts in-jit).
+            # Mixed/augmented batches fall back to float32 automatically.
+            q = wire_quantize(wavs)
+            in_flight.append((list(buf), embed_fn(q if q is not None
+                                                  else wavs)))
             buf.clear()
             drain(limit=1)
 

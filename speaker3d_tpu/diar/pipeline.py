@@ -74,28 +74,9 @@ def _gather_chunks_jit():
     return fn
 
 
-def _wire_quantize(wav_1d: np.ndarray):
-    """Return the waveform as int16 iff every sample is exactly k/32768
-    (then the device reconstruction is bitwise exact), else None.
-
-    Value-based, so it is safe for any source: PCM16-decoded audio passes,
-    resampled/augmented float audio fails and ships float32. A 64k-sample
-    prefix check short-circuits the common non-PCM case cheaply."""
-    if wav_1d.size == 0:
-        return None
-    # blockwise: bounded temporaries (this runs on the upload worker thread
-    # concurrently with host VAD on a 2-core box) and the first block acts
-    # as the cheap short-circuit for non-PCM sources
-    out = np.empty(wav_1d.shape[0], np.int16)
-    block = 1 << 22
-    for s in range(0, wav_1d.shape[0], block):
-        x = wav_1d[s:s + block] * np.float32(32768.0)
-        r = np.rint(x)
-        if not (np.array_equal(r, x) and r.min() >= -32768.0
-                and r.max() <= 32767.0):
-            return None
-        out[s:s + block] = r.astype(np.int16)
-    return out
+# shared with the chunked batch-extraction wire (cli/extract.py); kept
+# under the old name here because the resident-wav tests pin it
+from speaker3d_tpu.utils.wire import wire_quantize as _wire_quantize  # noqa: E402
 
 
 def circle_pad(x: np.ndarray, target_len: int) -> np.ndarray:

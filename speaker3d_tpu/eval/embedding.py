@@ -36,6 +36,11 @@ def build_embedding_fn(model, variables, *, sample_rate: int = 16000,
 
     @jax.jit
     def embed(wavs):
+        if wavs.dtype == jnp.int16:
+            # PCM16 wire: k/32768 is a power-of-two scale, bitwise equal
+            # to the host float conversion (utils/wire.py) — half the
+            # host->device bytes of float32
+            wavs = wavs.astype(jnp.float32) * jnp.float32(1 / 32768)
         feats = fbank(wavs)
         if dtype is not None:
             feats = feats.astype(dtype)
@@ -82,6 +87,8 @@ def build_sharded_embedding_fn(model, variables, mesh, *,
 
     @partial(jax.jit, out_shardings=rep)
     def embed(wavs):
+        if wavs.dtype == jnp.int16:
+            wavs = wavs.astype(jnp.float32) * jnp.float32(1 / 32768)
         feats = fbank(wavs)
         if dtype is not None:
             feats = feats.astype(dtype)

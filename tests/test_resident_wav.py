@@ -122,3 +122,38 @@ def test_gather_kernel_direct_edges():
     assert np.array_equal(out[0], [0, 1, 2, 0, 1, 2])  # circle-pad
     assert np.array_equal(out[1], np.zeros(6))          # empty -> zeros
     assert np.array_equal(out[2], [10, 11, 12, 13, 14, 15])  # truncate-free
+
+
+def test_chunked_extraction_int16_wire_bitwise(tmp_path, monkeypatch):
+    """cli/extract's chunked path ships PCM16-exact batches as int16
+    (r5): embeddings must be BITWISE equal to the float32 wire."""
+    import speaker3d_tpu.cli.extract as extract_mod
+    from speaker3d_tpu.eval.embedding import build_embedding_fn
+    from speaker3d_tpu.models.xvector import Xvector
+    from speaker3d_tpu.utils.fileio import write_wav
+
+    import jax
+
+    scp = {}
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        # PCM16 on disk; 13 s so the 10 s chunking engages (cap 90 s)
+        w = (rng.integers(-2000, 2000, size=13 * FS)
+             .astype(np.float32) / 32768.0)
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, w, FS)
+        scp[f"u{i}"] = p
+
+    model = Xvector(feat_dim=80, hid_dim=8, stats_dim=16, embed_dim=8)
+    feats0 = np.zeros((1, 20, 80), np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats0)
+    embed_fn = build_embedding_fn(model, variables, precision="highest")
+
+    e_int16 = extract_mod.extract_embeddings(
+        embed_fn, scp, mode="chunked", batch_size=4)
+    monkeypatch.setattr(extract_mod, "wire_quantize", lambda w: None)
+    e_f32 = extract_mod.extract_embeddings(
+        embed_fn, scp, mode="chunked", batch_size=4)
+    assert set(e_int16) == set(e_f32)
+    for utt in e_f32:
+        assert np.array_equal(e_int16[utt], e_f32[utt]), utt
