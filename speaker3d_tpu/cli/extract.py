@@ -130,7 +130,9 @@ def extract_embeddings(embed_fn, wav_scp, *, mode="chunked", batch_size=64,
             in_flight.append((list(buf), embed_fn(q if q is not None
                                                   else wavs)))
             buf.clear()
-            drain(limit=1)
+            # 4-deep async dispatch (like diar/pipeline.py): per-dispatch
+            # tunnel latency and batch uploads overlap device compute
+            drain(limit=3)
 
         for utt, path in wav_scp.items():
             wav = load_audio(path, obj_fs=sample_rate)[0]
