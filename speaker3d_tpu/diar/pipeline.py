@@ -282,6 +282,32 @@ class DiarizationPipeline:
         self._issue_resident_wav(wav_1d)
         return self._resident_cache[1].result()
 
+    def _fused_embed(self, L):
+        """ONE jitted dispatch per batch: the chunk gather inlines into the
+        embed jit, halving tunnel dispatches vs gather-then-embed (each
+        dispatch costs O(10-100 ms) host-side on this harness). Returns
+        None — and latches off for the pipeline's lifetime — when embed_fn
+        is not jax-traceable (plain-numpy embed fns in tests fall back to
+        the two-dispatch path, whose gather numerics the resident-wav tests
+        pin)."""
+        if getattr(self, "_fused_ok", None) is False:
+            return None
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        fn = cache.get(L)
+        if fn is None:
+            import jax
+
+            embed_fn = self.embed_fn
+            gather = _gather_chunks_jit()  # inlines under the outer jit
+
+            def fused(wav, starts, lens):
+                return embed_fn(gather(wav, starts, lens, L))
+
+            fn = cache[L] = jax.jit(fused)
+        return fn
+
     def do_emb_extraction(self, chunks: Sequence[Sequence[float]], wav_1d):
         """Embed chunks from the device-resident waveform: slicing and
         circle-padding to a STATIC chunk length happen ON DEVICE via an
@@ -308,28 +334,44 @@ class DiarizationPipeline:
         starts = np.asarray([st for st, _ in bounds], np.int32)
         lens = np.asarray([ed - st for st, ed in bounds], np.int32)
 
-        out = []
+        # Dispatch structure: ONE fused jit dispatch per batch (gather
+        # inlined into embed when traceable) and the [bs, D] result fetches
+        # run on a background thread — each fetch is a ~35 ms tunnel
+        # round-trip that would otherwise block the issue loop between
+        # dispatches. Outstanding fetches are capped so the device queue
+        # (one [bs, L] gather intermediate per in-flight batch) stays
+        # bounded on long files.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = getattr(self, "_fetch_pool", None)
+        if pool is None:
+            pool = self._fetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="emb_fetch")
         bs = self.batch_size
-        # async dispatch pipeline: keep several batches in flight so the
-        # per-dispatch tunnel latency (O(100 ms) on this harness) overlaps
-        # device compute instead of serializing with it; the result fetch
-        # is tiny ([bs, D] embeddings)
-        depth = self.dispatch_depth
-        in_flight = []
+        qcap = max(8 * self.dispatch_depth, 16)
+        fused = self._fused_embed(L)
+        futs = []
         for s in range(0, len(starts), bs):
             bst, bln = starts[s:s + bs], lens[s:s + bs]
             n = bst.shape[0]
             if n < bs:  # pad to the static batch size, drop extras after
                 bst = np.concatenate([bst, np.zeros(bs - n, np.int32)])
                 bln = np.concatenate([bln, np.zeros(bs - n, np.int32)])
-            batch = gather(dev_wav, bst, bln, L)
-            in_flight.append((n, self.embed_fn(batch)))
-            if len(in_flight) >= depth:
-                k, dev = in_flight.pop(0)
-                out.append(np.asarray(dev)[:k])
-        for k, dev in in_flight:
-            out.append(np.asarray(dev)[:k])
-        return np.concatenate(out, axis=0)
+            dev = None
+            if fused is not None:
+                try:
+                    dev = fused(dev_wav, bst, bln)
+                except Exception:  # embed_fn not traceable: latch fallback
+                    self._fused_ok = False
+                    self._fused_cache.clear()
+                    fused = None
+            if dev is None:
+                dev = self.embed_fn(gather(dev_wav, bst, bln, L))
+            futs.append((n, pool.submit(np.asarray, dev)))
+            if len(futs) >= qcap:
+                futs[-qcap][1].result()
+        return np.concatenate(
+            [f.result()[:k] for k, f in futs], axis=0)
 
     def _emb_extraction_host(self, bounds, wav_1d, L):
         """Host slice/pad/stack path (pre-r5 semantics), kept as the no-jax

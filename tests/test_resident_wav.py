@@ -124,6 +124,49 @@ def test_gather_kernel_direct_edges():
     assert np.array_equal(out[2], [10, 11, 12, 13, 14, 15])  # truncate-free
 
 
+def test_numpy_embed_fn_latches_fused_fallback():
+    """A non-traceable (numpy) embed_fn must fall back to the two-dispatch
+    gather-then-embed path — once, latched for the pipeline's lifetime —
+    and still produce host-bitwise results."""
+    wav = _pcm16_wav(int(4.0 * FS), seed=6)
+    pipe = _pipe()
+    chunks = [[0.0, 1.5], [0.75, 2.25], [2.5, 4.0]]
+    bounds = [(int(st * FS), int(ed * FS)) for st, ed in chunks]
+    L = int(pipe.chunk_dur * FS)
+    dev = pipe.do_emb_extraction(chunks, wav)
+    assert pipe._fused_ok is False  # numpy embed fn cannot trace
+    assert np.array_equal(dev, pipe._emb_extraction_host(bounds, wav, L))
+    # second call goes straight to the fallback (no re-trace attempt)
+    assert pipe._fused_embed(L) is None
+
+
+def test_fused_gather_embed_matches_two_step():
+    """A jax-traceable embed_fn takes the fused one-dispatch-per-batch
+    path; embeddings must equal the explicit gather-then-embed two-step
+    (same ops, float32, CPU-deterministic)."""
+    import jax
+    import jax.numpy as jnp
+
+    wav = _pcm16_wav(int(6.1 * FS), seed=7)
+
+    @jax.jit
+    def embed(wavs):  # cheap traceable stand-in with a reduction
+        x = wavs.reshape(wavs.shape[0], -1, 100)
+        return jnp.sum(x * jnp.float32(0.25), axis=1)
+
+    pipe = DiarizationPipeline(embed, batch_size=4)
+    chunks = [[0.0, 1.5], [0.75, 2.25], [1.5, 3.0], [5.8, 6.1],
+              [2.0, 2.0], [3.0, 4.5]]
+    out_fused = pipe.do_emb_extraction(chunks, wav)
+    assert getattr(pipe, "_fused_ok", None) is not False  # stayed fused
+    assert pipe._fused_cache  # the fused jit was built and kept
+    # force the two-step path on a fresh pipeline
+    pipe2 = DiarizationPipeline(embed, batch_size=4)
+    pipe2._fused_ok = False
+    out_two = pipe2.do_emb_extraction(chunks, wav)
+    assert np.array_equal(out_fused, out_two)
+
+
 def test_chunked_extraction_int16_wire_bitwise(tmp_path, monkeypatch):
     """cli/extract's chunked path ships PCM16-exact batches as int16
     (r5): embeddings must be BITWISE equal to the float32 wire."""
