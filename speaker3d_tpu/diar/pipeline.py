@@ -33,11 +33,34 @@ from speaker3d_tpu.utils.fileio import load_audio
 # slicing + circle-padding happen on device, so the embed stage ships ~1x
 # the audio bytes (int16 when exact) instead of ~3x (the 2x chunk-overlap
 # redundancy x float32 of the old host slice/pad/stack path). Uploads pad
-# to a multiple of WAV_SLAB samples so the tiny gather executable compiles
-# once per slab-count class, not once per exact file length.
-WAV_SLAB = 1 << 18  # 262,144 samples = 16.384 s; <=0.5 MB int16 pad waste
+# HOST-side to a multiple of WAV_SLAB samples (wire-cheap, <=0.5 MB), then
+# DEVICE-side to a power-of-two slab count (zeros appended by a tiny jit —
+# no extra wire bytes), so every executable that takes the resident wav as
+# an argument sees O(log) distinct shapes. That bound matters since the
+# fused gather+embed jit (late r5) compiles the FULL model per wav shape:
+# without bucketing, a directory of mixed-duration files would recompile
+# the 53.6M flagship once per ~16 s length class.
+WAV_SLAB = 1 << 18  # 262,144 samples = 16.384 s
 
 _GATHER_CACHE: dict = {}
+
+
+def _pad_to_bucket_jit():
+    """Tiny device-side zero-pad (cheap compile per (in, out) length pair;
+    the appended tail is never addressed by the chunk gather — starts+lens
+    come from VAD intervals inside the real audio)."""
+    fn = _GATHER_CACHE.get("pad")
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("n",))
+        def pad_to(w, n):
+            return jnp.concatenate([w, jnp.zeros(n - w.shape[0], w.dtype)])
+
+        fn = _GATHER_CACHE["pad"] = pad_to
+    return fn
 
 
 def _gather_chunks_jit():
@@ -267,7 +290,16 @@ class DiarizationPipeline:
             if pad:
                 host = np.concatenate([host, np.zeros(pad, host.dtype)])
             self.last_wire = {"dtype": str(host.dtype), "bytes": host.nbytes}
-            return jax.device_put(host)
+            dev = jax.device_put(host)
+            # device-side zero-pad to a power-of-two slab count: the wire
+            # ships only the host bytes above, but executables keyed on the
+            # wav shape (the fused gather+embed jit compiles the full model
+            # per shape) stay O(log) classes across a mixed-duration corpus
+            k = host.shape[0] // WAV_SLAB
+            kb = 1 << (k - 1).bit_length()
+            if kb != k:
+                dev = _pad_to_bucket_jit()(dev, kb * WAV_SLAB)
+            return dev
 
         pool = getattr(self, "_upload_pool", None)
         if pool is None:

@@ -111,6 +111,24 @@ def test_slab_padding_bounds_executable_count():
     assert pipe.last_wire == {"dtype": "int16", "bytes": 2 * WAV_SLAB * 2}
 
 
+def test_pow2_slab_bucket_pads_on_device_only():
+    """3 host slabs bucket to 4 device slabs (power-of-two shape classes,
+    so the fused gather+embed jit compiles O(log) times across a mixed-
+    duration corpus) — but the WIRE ships only the 3 host slabs, and the
+    gather over the padded wav stays bitwise equal to the host path."""
+    wav = _pcm16_wav(2 * WAV_SLAB + 17, seed=8)
+    pipe = _pipe()
+    dev = pipe._resident_wav(wav)
+    assert dev.shape[0] == 4 * WAV_SLAB  # device: next power-of-two
+    assert pipe.last_wire == {"dtype": "int16", "bytes": 3 * WAV_SLAB * 2}
+    dur = len(wav) / FS
+    chunks = [[0.0, 1.5], [dur - 0.4, dur], [17.0, 18.5]]
+    bounds = [(int(st * FS), int(ed * FS)) for st, ed in chunks]
+    L = int(pipe.chunk_dur * FS)
+    out = pipe.do_emb_extraction(chunks, wav)
+    assert np.array_equal(out, pipe._emb_extraction_host(bounds, wav, L))
+
+
 def test_gather_kernel_direct_edges():
     import jax.numpy as jnp
 
